@@ -1,0 +1,1 @@
+"""Pure column-expression function libraries (no UDFs in the hot path)."""

@@ -1,0 +1,81 @@
+"""Iceberg-style table layout on plain Parquet + JSON manifest.
+
+The north_rule mandates Iceberg tables; no Iceberg runtime jar exists in this
+sandbox (SURVEY.md §7.4.5), so this module implements the same *layout
+contract* — bucketed partitioning on conv_id, schema + partition-spec
+manifest, snapshot-ish commit semantics — over directories of Parquet, behind
+an API narrow enough to swap in a real Iceberg catalog
+(``spark.table("kg.transcripts")``) by changing only this file.
+
+Layout for a table written with bucket(conv_id, N):
+    <root>/<name>/data/bucket=<k>/*.parquet
+    <root>/<name>/manifest.json    {schema, bucket_col, n_buckets, snapshot}
+
+Partition pruning: readers filtering on a conv_id can compute its bucket and
+read only that directory — the Iceberg bucket-transform behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bucket_expr(col: str, n_buckets: int) -> F.Column:
+    """Deterministic bucket id (Iceberg-style hash bucket transform)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+def write_table(
+    df: DataFrame,
+    root: str,
+    name: str,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> str:
+    path = os.path.join(root, name)
+    data_path = os.path.join(path, "data")
+    (
+        df.withColumn("bucket", bucket_expr(bucket_col, n_buckets))
+        .repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(data_path)
+    )
+    manifest = {
+        "name": name,
+        "format": "parquet",
+        "schema": df.schema.jsonValue(),
+        "partition_spec": {"transform": "bucket", "col": bucket_col, "n": n_buckets},
+        "snapshot_ts": int(time.time() * 1000),
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return path
+
+
+def read_table(
+    spark: SparkSession, root: str, name: str, buckets: list[int] | None = None
+) -> DataFrame:
+    """Read the table; ``buckets`` prunes to specific bucket partitions
+    (directory-level pruning, same effect as Iceberg partition pruning)."""
+    data_path = os.path.join(root, name, "data")
+    df = spark.read.option("basePath", data_path).parquet(
+        *(
+            [os.path.join(data_path, f"bucket={b}") for b in buckets]
+            if buckets
+            else [data_path]
+        )
+    )
+    return df
+
+
+def read_manifest(root: str, name: str) -> dict:
+    with open(os.path.join(root, name, "manifest.json")) as f:
+        return json.load(f)

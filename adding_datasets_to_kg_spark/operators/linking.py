@@ -1,0 +1,143 @@
+"""Entity linking + triple emission over detected mentions.
+
+Transcript-domain analog of the reference's ID resolution + edge emission:
+- candidate scoring / best-pick  ← Node Normalizer best-match semantics
+  (/root/reference/src/midas/normalize.py:29-37): each mention resolves to
+  exactly one entity id; ties broken deterministically.
+- triple vocabulary (north_star): turn-mentions-entity,
+  gene-associated_with-disease (convert_data.py:79-82 predicate),
+  variant-observed_in-cohort, plus variant→gene consequence edges
+  (convert_data.py:113-117; util.py:38-49).
+
+Scale notes: linking is broadcast joins against dictionary tables + one
+window (rank over score) partitioned by (conv_id, turn_idx, token_pos) —
+narrow partitions, no skew. Co-occurrence edges join mentions to mentions
+WITHIN a turn (self-join on conv_id+turn_idx) — bounded fan-out per turn.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.curie import consequence_predicate
+from ..sources.kgx import conform_edges
+
+INFORES = "infores:transcripts"
+
+
+def link_best_candidate(mentions: DataFrame) -> DataFrame:
+    """Pick one entity per (conv_id, turn_idx, token_pos): longest surface
+    form wins, then lexicographic entity_id — pure, order-independent."""
+    w = Window.partitionBy("conv_id", "turn_idx", "token_pos").orderBy(
+        F.length("term").desc(), F.col("entity_id").asc()
+    )
+    return (
+        mentions.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def turn_uri(conv_id: F.Column, turn_idx: F.Column) -> F.Column:
+    return F.concat(F.lit("TURN:"), conv_id, F.lit("#"), turn_idx.cast("string"))
+
+
+def emit_mention_triples(linked: DataFrame) -> DataFrame:
+    """turn-mentions-entity triples, one per linked mention occurrence,
+    deduped on (subject, object)."""
+    return conform_edges(
+        linked.select(
+            turn_uri(F.col("conv_id"), F.col("turn_idx")).alias("subject"),
+            F.lit("biolink:mentions").alias("predicate"),
+            F.col("entity_id").alias("object"),
+            F.lit(INFORES).alias("primary_knowledge_source"),
+        ).dropDuplicates(["subject", "object"])
+    )
+
+
+def emit_gene_disease_triples(
+    linked: DataFrame, disease_lexicon: DataFrame
+) -> DataFrame:
+    """gene-associated_with-disease: a disease mention and its lexicon-backed
+    associated gene co-mentioned in the SAME turn.
+
+    disease_lexicon(name, disease_id, assoc_gene_id) is the DisGeNet-style
+    dictionary (FIXTURES.md §2.2); predicate per convert_data.py:80.
+    """
+    diseases = linked.filter(F.col("entity_type") == "disease").select(
+        "conv_id", "turn_idx", F.col("entity_id").alias("disease_id")
+    )
+    genes = linked.filter(F.col("entity_type") == "gene").select(
+        "conv_id", "turn_idx", F.col("entity_id").alias("gene_id")
+    )
+    assoc = F.broadcast(
+        disease_lexicon.filter(F.col("assoc_gene_id").isNotNull())
+        .select("disease_id", "assoc_gene_id")
+        .distinct()
+    )
+    pairs = (
+        diseases.join(genes, ["conv_id", "turn_idx"])
+        .join(
+            assoc,
+            (diseases.disease_id == assoc.disease_id)
+            & (genes.gene_id == assoc.assoc_gene_id),
+            "inner",
+        )
+    )
+    return conform_edges(
+        pairs.select(
+            F.col("gene_id").alias("subject"),
+            F.lit("biolink:gene_associated_with_condition").alias("predicate"),
+            diseases.disease_id.alias("object"),
+            F.lit(INFORES).alias("primary_knowledge_source"),
+        ).dropDuplicates(["subject", "object"])
+    )
+
+
+def emit_variant_cohort_triples(linked: DataFrame) -> DataFrame:
+    """variant-observed_in-cohort: variant mentioned anywhere in a
+    conversation → edge to the conversation-as-cohort node."""
+    return conform_edges(
+        linked.filter(F.col("entity_type") == "variant")
+        .select(
+            F.col("entity_id").alias("subject"),
+            F.lit("biolink:observed_in").alias("predicate"),
+            F.concat(F.lit("COHORT:"), F.col("conv_id")).alias("object"),
+            F.lit(INFORES).alias("primary_knowledge_source"),
+        )
+        .dropDuplicates(["subject", "object"])
+    )
+
+
+def emit_variant_gene_triples(
+    linked: DataFrame, variant_lexicon: DataFrame
+) -> DataFrame:
+    """variant→gene consequence edges (convert_data.py:113-117 parity):
+    predicate decoded from the lexicon's SO consequence term."""
+    vl = F.broadcast(
+        variant_lexicon.select(
+            F.coalesce(
+                F.col("caid"),
+                F.when(
+                    F.col("hgvs").startswith("HGVS:"), F.col("hgvs")
+                ).otherwise(F.concat(F.lit("HGVS:"), F.col("hgvs"))),
+            ).alias("entity_id"),
+            F.col("gene_id").alias("vl_gene_id"),
+            F.col("consequence").alias("vl_consequence"),
+        ).dropDuplicates(["entity_id"])
+    )
+    variants = linked.filter(F.col("entity_type") == "variant").select("entity_id").distinct()
+    return conform_edges(
+        variants.join(vl, "entity_id")
+        .filter(F.col("vl_gene_id").isNotNull())
+        .select(
+            F.col("entity_id").alias("subject"),
+            consequence_predicate(F.col("vl_consequence")).alias("predicate"),
+            F.col("vl_gene_id").alias("object"),
+            F.lit(INFORES).alias("primary_knowledge_source"),
+            F.create_map(
+                F.lit("most_severe_consequence"), F.col("vl_consequence")
+            ).alias("properties"),
+        )
+    )

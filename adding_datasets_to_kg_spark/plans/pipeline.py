@@ -1,0 +1,258 @@
+"""The end-to-end transcript → knowledge-graph pipeline, with per-partition
+checkpoint/resume.
+
+Stage map (SURVEY.md §7.1; reference driver /root/reference/src/midas/pipeline.py:21-47):
+  1 extract      — read transcript table, window-order turns per conversation,
+                   vectorized lexicon mention detection   (≈ convert_to_kgx)
+  2 link         — best-candidate entity linking           (≈ normalize, id side)
+  3 emit         — triple families: mentions / gene-disease / variant-cohort /
+                   variant-gene                            (≈ converter edge rules)
+  4 canonicalize — CC over id_equivalences + predicate map (≈ NodeNorm + predicate_map)
+  5 merge        — node merge + edge dedup                 (≈ merge_kgx_files)
+  6 stats        — metadata dict                           (≈ validate_graph)
+  7 export       — Iceberg-layout kg.nodes / kg.edges + typed CSV
+
+Resumability (north_rule): work is partitioned by bucket(conv_id); each
+bucket's triples are written atomically (directory per bucket), then a
+checkpoint row {bucket, status, counters, lineage} is appended. On restart,
+completed buckets are skipped; the final merge reads all bucket outputs.
+Counters double as per-partition lineage metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..icetable import bucket_expr
+from ..operators.canonicalize import normalization_map, normalize_predicates, remap_edge_endpoints
+from ..operators.linking import (
+    emit_gene_disease_triples,
+    emit_mention_triples,
+    emit_variant_cohort_triples,
+    emit_variant_gene_triples,
+    link_best_candidate,
+)
+from ..operators.mention import build_lexicon_entries, detect_mentions, explode_mentions
+from ..operators.merge import dedup_edges, merge_nodes
+from ..operators.stats import graph_metadata
+from ..sources.kgx import NODE_COLS, conform_nodes
+
+
+@dataclass
+class Lexicons:
+    gene: DataFrame
+    disease: DataFrame
+    variant: DataFrame
+    id_equivalences: DataFrame | None = None
+    predicate_map: DataFrame | None = None
+    _entries: list = field(default=None, repr=False)
+
+    def entries(self) -> list[tuple[str, str, str]]:
+        if self._entries is None:
+            self._entries = build_lexicon_entries(self.gene, self.disease, self.variant)
+        return self._entries
+
+
+def ordered_turns(transcripts: DataFrame) -> DataFrame:
+    """Stable per-conversation ordering via window-over-turn_idx (north_star).
+
+    Adds ``turn_rank`` = row_number over (conv_id / turn_idx); the invariant
+    "per-turn text equality under stable turn ordering" is tested against
+    this column (physical row order is deliberately shuffled in fixtures).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return transcripts.withColumn("turn_rank", F.row_number().over(w))
+
+
+def extract_linked_mentions(transcripts: DataFrame, lex: Lexicons) -> DataFrame:
+    """Stages 1-2: narrow projection → mention UDF → explode → link."""
+    narrow = transcripts.select("conv_id", "turn_idx", "text")
+    with_mentions = detect_mentions(narrow, lex.entries())
+    mentions = explode_mentions(with_mentions, ["conv_id", "turn_idx"])
+    return link_best_candidate(mentions)
+
+
+def emit_triples(linked: DataFrame, lex: Lexicons) -> DataFrame:
+    """Stage 3: union of the four triple families."""
+    return (
+        emit_mention_triples(linked)
+        .unionByName(emit_gene_disease_triples(linked, lex.disease))
+        .unionByName(emit_variant_cohort_triples(linked))
+        .unionByName(emit_variant_gene_triples(linked, lex.variant), allowMissingColumns=True)
+    )
+
+
+def build_nodes_for_edges(edges: DataFrame, lex: Lexicons) -> DataFrame:
+    """Node records for every edge endpoint, typed by CURIE prefix."""
+    ids = (
+        edges.select(F.col("subject").alias("id"))
+        .unionByName(edges.select(F.col("object").alias("id")))
+        .distinct()
+    )
+    category = (
+        F.when(F.col("id").startswith("NCBIGene:"), F.array(F.lit("biolink:Gene")))
+        .when(F.col("id").startswith("DOID:"), F.array(F.lit("biolink:Disease")))
+        .when(
+            F.col("id").startswith("CAID:") | F.col("id").startswith("HGVS:"),
+            F.array(F.lit("biolink:SequenceVariant")),
+        )
+        .when(F.col("id").startswith("TURN:"), F.array(F.lit("biolink:InformationContentEntity")))
+        .when(F.col("id").startswith("COHORT:"), F.array(F.lit("biolink:Cohort")))
+        .otherwise(F.array(F.lit("biolink:NamedThing")))
+    )
+    gene_names = F.broadcast(
+        lex.gene.select(F.col("gene_id").alias("id"), F.col("symbol").alias("_name"))
+    )
+    disease_names = F.broadcast(
+        lex.disease.select(F.col("disease_id").alias("id"), F.col("name").alias("_dname")).dropDuplicates(["id"])
+    )
+    return conform_nodes(
+        ids.join(gene_names, "id", "left")
+        .join(disease_names, "id", "left")
+        .select(
+            "id",
+            F.coalesce("_name", "_dname").alias("name"),
+            category.alias("category"),
+        )
+    )
+
+
+def canonicalize_graph(
+    nodes: DataFrame, edges: DataFrame, lex: Lexicons
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Stage 4: returns (nodes, edges, norm_map, failures)."""
+    if lex.id_equivalences is None:
+        return nodes, edges, None, None
+    norm_map, failures = normalization_map(nodes, lex.id_equivalences)
+    edges = remap_edge_endpoints(edges, norm_map)
+    if lex.predicate_map is not None:
+        edges = normalize_predicates(edges, lex.predicate_map)
+    nm = norm_map.select("id", "canonical_id", "equivalent_identifiers")
+    nodes = (
+        nodes.join(nm, "id", "left")
+        .select(
+            F.coalesce("canonical_id", "id").alias("id"),
+            "name",
+            "category",
+            F.map_concat(
+                F.coalesce("properties", F.create_map()),
+                F.when(
+                    F.col("equivalent_identifiers").isNotNull(),
+                    F.create_map(
+                        F.lit("equivalent_identifiers"),
+                        F.array_join("equivalent_identifiers", ";"),
+                    ),
+                ).otherwise(F.create_map()),
+            ).alias("properties"),
+        )
+    )
+    return nodes, edges, norm_map, failures
+
+
+def run_pipeline(
+    transcripts: DataFrame,
+    lex: Lexicons,
+    output_dir: str | None = None,
+    compute_metadata: bool = True,
+) -> dict:
+    """One-shot (non-checkpointed) run. Returns dict with nodes/edges/
+    metadata/norm artifacts — the Spark analog of midas.pipeline.run_pipeline."""
+    linked = extract_linked_mentions(transcripts, lex)
+    edges = emit_triples(linked, lex)
+    nodes = build_nodes_for_edges(edges, lex)
+    nodes, edges, norm_map, failures = canonicalize_graph(nodes, edges, lex)
+    nodes = merge_nodes(nodes)
+    edges = dedup_edges(edges)
+    out: dict = {"nodes": nodes, "edges": edges, "norm_map": norm_map, "failures": failures}
+    if output_dir:
+        nodes.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_nodes"))
+        edges.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_edges"))
+    if compute_metadata:
+        out["metadata"] = graph_metadata(nodes, edges)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed / resumable variant
+# ---------------------------------------------------------------------------
+
+def _checkpoint_path(output_dir: str) -> str:
+    return os.path.join(output_dir, "_checkpoints")
+
+
+def completed_buckets(spark: SparkSession, output_dir: str) -> set[int]:
+    path = _checkpoint_path(output_dir)
+    if not os.path.exists(path):
+        return set()
+    done = set()
+    for fn in sorted(os.listdir(path)):
+        if fn.endswith(".json"):
+            with open(os.path.join(path, fn)) as f:
+                rec = json.load(f)
+            if rec.get("status") == "complete":
+                done.add(rec["bucket"])
+    return done
+
+
+def run_pipeline_checkpointed(
+    transcripts: DataFrame,
+    lex: Lexicons,
+    output_dir: str,
+    n_buckets: int = 8,
+    fail_after_bucket: int | None = None,
+) -> dict:
+    """Resumable run: per-bucket triple extraction with atomic commit +
+    checkpoint row; final canonicalize/merge over all bucket outputs.
+
+    ``fail_after_bucket`` is a test hook: raise after committing K buckets to
+    exercise resume semantics (SURVEY.md §5.2 resume tests).
+    """
+    spark = transcripts.sparkSession
+    os.makedirs(_checkpoint_path(output_dir), exist_ok=True)
+    done = completed_buckets(spark, output_dir)
+    bucketed = transcripts.withColumn("_bucket", bucket_expr("conv_id", n_buckets))
+
+    n_processed = 0
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+        linked = extract_linked_mentions(part, lex)
+        edges = emit_triples(linked, lex)
+        t0 = time.time()
+        edge_path = os.path.join(output_dir, "triples", f"bucket={b}")
+        edges.write.mode("overwrite").parquet(edge_path)
+        n_edges = spark.read.parquet(edge_path).count()
+        n_turns = part.count()
+        ckpt = {
+            "bucket": b,
+            "status": "complete",
+            "counters": {"turns": n_turns, "triples": n_edges},
+            "lineage": {
+                "stage": "extract+link+emit",
+                "input": "transcripts",
+                "output": edge_path,
+            },
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        tmp = os.path.join(_checkpoint_path(output_dir), f".bucket_{b}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(ckpt, f)
+        os.replace(tmp, os.path.join(_checkpoint_path(output_dir), f"bucket_{b}.json"))
+        n_processed += 1
+        if fail_after_bucket is not None and n_processed > fail_after_bucket:
+            raise RuntimeError(f"induced failure after bucket {b}")
+
+    edges = dedup_edges(spark.read.parquet(os.path.join(output_dir, "triples")))
+    nodes = build_nodes_for_edges(edges, lex)
+    nodes, edges, norm_map, failures = canonicalize_graph(nodes, edges, lex)
+    nodes = merge_nodes(nodes)
+    nodes.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_nodes"))
+    edges.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_edges"))
+    return {"nodes": nodes, "edges": edges, "norm_map": norm_map, "failures": failures}

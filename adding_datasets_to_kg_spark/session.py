@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Design notes (scale-first):
+- AQE on, with skew-join splitting: the reference's predicate census spans
+  2 → 2,453,552 edges per predicate (reference README.md:278-306), and hub
+  entities (TP53-style) concentrate triples; AQE re-plans skewed shuffle
+  partitions at runtime.
+- shuffle.partitions scales with cores locally; on a real cluster this is
+  overridden by spark-submit conf (we never hardcode cluster-size-dependent
+  values in operators).
+- Arrow enabled for every pandas UDF path (mention detection, multimodal);
+  per-batch size bounded so executor memory stays flat at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "adding_datasets_to_kg_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    ``cpus`` controls local parallelism only; cluster deployments pass their
+    own master/conf via spark-submit and everything here acts as defaults.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- adaptive execution: runtime re-planning + skew defense ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing: cores-proportional locally ---
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.default.parallelism", str(max(cpus, 8)))
+        # --- Arrow for vectorized pandas UDFs (input_hint: no per-row Python) ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scan sizing: bounded input splits so partitions fit executor memory ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- broadcast threshold: dictionary/lexicon tables are broadcast joins ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

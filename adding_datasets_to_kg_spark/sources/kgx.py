@@ -1,0 +1,152 @@
+"""KGX graph model: schemas, JSONL sink with node dedup, typed CSV export.
+
+Reference parity:
+- node/edge JSONL shape     ← /root/reference/README.md:85-88 and the
+  KGXFileWriter call sites in /root/reference/src/midas/convert_data.py
+- writer-side node dedup    ← KGXFileWriter skips already-written node ids
+  (first-wins, input-order-dependent). We use deterministic merge instead:
+  groupBy(id) with min-length/first-non-null semantics — order-independent,
+  documented deviation (SURVEY.md §7.4.4).
+- typed CSV export          ← orion convert_jsonl_to_neo4j_csv call site
+  /root/reference/src/midas/kgx_converter.py:9-14 plus header conventions in
+  /root/reference/scripts/preprocessing/convert_for_neptune_bulk.py:46-47,70-83
+
+Scale notes: nodes/edges are plain columnar DataFrames; the "writer" is just
+a sink after a hash-aggregate dedup (map-side partial agg + AQE handles the
+hot-id skew). Export is a single projection — no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+NODE_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("name", StringType(), True),
+        StructField("category", ArrayType(StringType()), True),
+        StructField("properties", MapType(StringType(), StringType()), True),
+    ]
+)
+
+EDGE_SCHEMA = StructType(
+    [
+        StructField("subject", StringType(), False),
+        StructField("predicate", StringType(), False),
+        StructField("object", StringType(), False),
+        StructField("primary_knowledge_source", StringType(), True),
+        StructField("properties", MapType(StringType(), StringType()), True),
+    ]
+)
+
+NODE_COLS = [f.name for f in NODE_SCHEMA.fields]
+EDGE_COLS = [f.name for f in EDGE_SCHEMA.fields]
+
+
+def empty_nodes(spark) -> DataFrame:
+    return spark.createDataFrame([], NODE_SCHEMA)
+
+
+def conform_nodes(df: DataFrame) -> DataFrame:
+    """Project/backfill to the canonical node schema."""
+    cols = {c: F.col(c) for c in df.columns}
+    out = [
+        cols.get("id", F.lit(None)).cast("string").alias("id"),
+        cols.get("name", F.lit(None)).cast("string").alias("name"),
+        cols.get("category", F.lit(None)).cast("array<string>").alias("category"),
+        cols.get("properties", F.lit(None))
+        .cast("map<string,string>")
+        .alias("properties"),
+    ]
+    return df.select(*out)
+
+
+def conform_edges(df: DataFrame) -> DataFrame:
+    cols = {c: F.col(c) for c in df.columns}
+    out = [
+        cols.get("subject", F.lit(None)).cast("string").alias("subject"),
+        cols.get("predicate", F.lit(None)).cast("string").alias("predicate"),
+        cols.get("object", F.lit(None)).cast("string").alias("object"),
+        cols.get("primary_knowledge_source", F.lit(None))
+        .cast("string")
+        .alias("primary_knowledge_source"),
+        cols.get("properties", F.lit(None))
+        .cast("map<string,string>")
+        .alias("properties"),
+    ]
+    return df.select(*out)
+
+
+def dedup_nodes(nodes: DataFrame) -> DataFrame:
+    """Writer-side node dedup (KGXFileWriter semantics, order-independent).
+
+    The reference writer keeps the FIRST record per id (input-order
+    dependent); we keep a deterministic representative: the first non-null
+    name by (name asc), union of categories, first non-null properties.
+    Hash aggregate with map-side combine — one shuffle on id.
+    """
+    return (
+        nodes.groupBy("id")
+        .agg(
+            F.min("name").alias("name"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("category")))
+            ).alias("category"),
+            F.first("properties", ignorenulls=True).alias("properties"),
+        )
+        .select(*NODE_COLS)
+    )
+
+
+def write_kgx_jsonl(nodes: DataFrame, edges: DataFrame, nodes_path: str, edges_path: str) -> None:
+    """KGX JSONL sink (S6): dedup nodes, then line-delimited JSON files."""
+    dedup_nodes(nodes).write.mode("overwrite").json(nodes_path)
+    edges.write.mode("overwrite").json(edges_path)
+
+
+def read_kgx_jsonl(spark, nodes_path: str, edges_path: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        conform_nodes(spark.read.json(nodes_path)),
+        conform_edges(spark.read.json(edges_path)),
+    )
+
+
+def nodes_to_typed_csv_df(nodes: DataFrame, array_delimiter: str = ";") -> DataFrame:
+    """Typed Neo4j/Neptune header projection for nodes (S7/S8).
+
+    Emits ``id:ID``, ``name:string``, ``category:LABEL`` (array joined by
+    ``;``), ``properties:string`` (JSON-encoded) — the header shapes consumed
+    by the reference's fix_golden_kg_format.py:29-38.
+    """
+    return nodes.select(
+        F.col("id").alias("id:ID"),
+        F.col("name").alias("name:string"),
+        F.array_join("category", array_delimiter).alias("category:LABEL"),
+        F.to_json("properties").alias("properties:string"),
+    )
+
+
+def edges_to_typed_csv_df(edges: DataFrame) -> DataFrame:
+    """Typed edge projection: ``:START_ID/:TYPE/:END_ID`` headers
+    (convert_for_neptune_bulk.py:70-83)."""
+    return edges.select(
+        F.col("subject").alias("subject:START_ID"),
+        F.col("predicate").alias("predicate:TYPE"),
+        F.col("object").alias("object:END_ID"),
+        F.col("primary_knowledge_source").alias("primary_knowledge_source:string"),
+        F.to_json("properties").alias("properties:string"),
+    )
+
+
+def export_typed_csv(nodes: DataFrame, edges: DataFrame, nodes_path: str, edges_path: str) -> None:
+    """S7/S8 sink: typed CSV with headers, arrays joined by ';'."""
+    nodes_to_typed_csv_df(nodes).write.mode("overwrite").option("header", True).csv(nodes_path)
+    edges_to_typed_csv_df(edges).write.mode("overwrite").option("header", True).csv(edges_path)
