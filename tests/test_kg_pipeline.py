@@ -1,0 +1,152 @@
+"""End-to-end pipeline tests against the pure-Python oracle (SURVEY.md §5.2)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from adding_datasets_to_kg_spark.datagen import transcripts as dg
+from adding_datasets_to_kg_spark.plans.pipeline import (
+    Lexicons,
+    ordered_turns,
+    run_pipeline,
+    run_pipeline_checkpointed,
+)
+
+from .oracle import expected_triples
+
+
+@pytest.fixture(scope="module")
+def lex(spark):
+    return Lexicons(
+        gene=dg.gene_lexicon_df(spark),
+        disease=dg.disease_lexicon_df(spark),
+        variant=dg.variant_lexicon_df(spark),
+        id_equivalences=dg.id_equivalences_df(spark),
+        predicate_map=dg.predicate_map_df(spark),
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus_rows():
+    return dg.generate_corpus(n_convs=40, seed=7)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, corpus_rows):
+    return spark.createDataFrame(corpus_rows, dg.TRANSCRIPT_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def result(corpus, lex):
+    return run_pipeline(corpus, lex, compute_metadata=False)
+
+
+def triple_set(edges_df):
+    return {
+        (r["subject"], r["predicate"], r["object"])
+        for r in edges_df.select("subject", "predicate", "object").collect()
+    }
+
+
+def test_triples_match_oracle(result, corpus_rows):
+    got = triple_set(result["edges"])
+    want = expected_triples(corpus_rows)
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want) if want else 0.0
+    assert precision >= 0.95, f"precision {precision}: extra={sorted(got - want)[:10]}"
+    assert recall >= 0.95, f"recall {recall}: missing={sorted(want - got)[:10]}"
+    # at this scale we expect exact agreement
+    assert got == want
+
+
+def test_turn_ordering_invariant(corpus):
+    """Per-turn text equality under stable turn ordering: window row_number
+    over turn_idx restores logical order despite shuffled physical layout."""
+    ot = ordered_turns(corpus)
+    bad = ot.filter(F.col("turn_rank") != F.col("turn_idx") + 1).count()
+    assert bad == 0
+    # text is keyed stably: (conv_id, turn_idx) → exactly one text value
+    dup = ot.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_merge_idempotent(result, lex):
+    """Running the node merge twice equals once (dedup idempotence)."""
+    from adding_datasets_to_kg_spark.operators.merge import merge_nodes
+
+    once = result["nodes"]
+    twice = merge_nodes(once)
+    assert once.count() == twice.count()
+    assert triple_set(once.select(F.col("id").alias("subject"),
+                                  F.lit("x").alias("predicate"),
+                                  F.col("id").alias("object"))) == \
+           triple_set(twice.select(F.col("id").alias("subject"),
+                                   F.lit("x").alias("predicate"),
+                                   F.col("id").alias("object")))
+
+
+def test_referential_integrity(result):
+    from adding_datasets_to_kg_spark.operators.stats import dangling_edges
+
+    assert dangling_edges(result["nodes"], result["edges"]).count() == 0
+
+
+def test_normalization_map_totality(result):
+    """Every raw id either resolves or lands in the failures table
+    (normalize.py:17-18 analog)."""
+    nm, failures = result["norm_map"], result["failures"]
+    assert nm is not None
+    assert nm.filter(F.col("canonical_id").isNull()).count() == 0
+    # failures are ids with no equivalence clique — they must not appear in map
+    overlap = failures.join(nm, "id", "inner").count()
+    assert overlap == 0
+
+
+def test_node_ids_unique(result):
+    n = result["nodes"]
+    assert n.count() == n.select("id").distinct().count()
+
+
+def test_resume_after_induced_failure(tmp_path, corpus, lex):
+    """Kill after K buckets → restart → identical final triple set, no
+    duplicate checkpoints (SURVEY.md §5.2 resume tests)."""
+    out1 = str(tmp_path / "full")
+    full = run_pipeline_checkpointed(corpus, lex, out1, n_buckets=4)
+    want = triple_set(full["edges"])
+
+    out2 = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="induced failure"):
+        run_pipeline_checkpointed(corpus, lex, out2, n_buckets=4, fail_after_bucket=1)
+    from adding_datasets_to_kg_spark.plans.pipeline import completed_buckets
+
+    done_before = completed_buckets(corpus.sparkSession, out2)
+    assert 0 < len(done_before) < 4
+    resumed = run_pipeline_checkpointed(corpus, lex, out2, n_buckets=4)
+    assert triple_set(resumed["edges"]) == want
+    assert len(completed_buckets(corpus.sparkSession, out2)) == 4
+
+
+def test_connected_components_order_invariance(spark):
+    """CC canonicalization is invariant to edge-list ordering (§5.2)."""
+    from adding_datasets_to_kg_spark.operators.canonicalize import connected_components
+
+    edges = [("b", "a"), ("c", "b"), ("x", "y"), ("q", "q"), ("m", "n"), ("n", "o"), ("o", "p")]
+    df1 = spark.createDataFrame(edges, "id_a string, id_b string")
+    df2 = spark.createDataFrame(list(reversed(edges)), "id_a string, id_b string")
+    r1 = {(r["id"], r["canonical_id"]) for r in connected_components(df1).collect()}
+    r2 = {(r["id"], r["canonical_id"]) for r in connected_components(df2).collect()}
+    assert r1 == r2
+    as_map = dict(r1)
+    assert as_map["c"] == "a" and as_map["p"] == "m" and as_map["q"] == "q"
+    assert as_map["x"] == "x" and as_map["y"] == "x"
+
+
+def test_canonical_key_join_order_insensitive(spark):
+    """J6 property test: shuffled token order yields identical keys."""
+    from adding_datasets_to_kg_spark.functions.text import canonical_set_key
+
+    df = spark.createDataFrame(
+        [(["b", "a", "c"],), (["c", "b", "a", "a"],)], "toks array<string>"
+    ).select(canonical_set_key(F.col("toks")).alias("k"))
+    keys = [r["k"] for r in df.collect()]
+    assert keys[0] == keys[1] == "a|b|c"
