@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()``/``oracle_sql()`` pairs live in
+``adding_datasets_to_kg_spark/plans/entry_queries.py`` — one entry per
+implemented operator from SURVEY.md §2 plus the training-data-pipeline ops
+(dedup / similarity / text analysis / multimodal plumbing).
 """
 
 from __future__ import annotations
@@ -12,27 +11,31 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adding_datasets_to_kg_spark.plans.entry_queries import ORACLES, QUERIES
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the north-star extract→link→emit→census shape over sf0.001 —
+    mention triples from documents, counted per entity (predicate census,
+    reference README.md:278-306 analog)."""
+    triples = QUERIES["kg_mentions_docs"](spark, SF0001)
+    return (
+        triples.groupBy("predicate", "object")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .orderBy(F.col("n_triples").desc(), F.col("object").asc())
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-ANSI equivalents; keys without an entry (sim_topk_ivf,
+    mm_media_features) are non-SQL-expressible → rows-only check."""
+    return dict(ORACLES)

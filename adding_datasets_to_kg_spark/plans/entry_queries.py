@@ -1,0 +1,1148 @@
+"""The driver-contract query registry: one (Spark query, DuckDB oracle SQL)
+pair per implemented operator from SURVEY.md §2 + the training-data ops.
+
+Conventions (driver compares row-count + schema + order-insensitive value
+hash at sf=0.01):
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- no raw-float outputs: doubles are rounded in-query on BOTH sides;
+- no array/map/struct outputs: arrays are join()ed to strings;
+- deterministic top-k: explicit tiebreak columns everywhere;
+- hashes are md5-of-string only (identical across engines); xxhash64 never
+  appears in an oracle-checked query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.curie import consequence_predicate, format_hgvsg
+from ..functions.text import (
+    EN_STOPWORDS,
+    canon_token,
+    canonical_set_key,
+    fingerprint,
+    langid_en,
+    quality_score,
+    shingles,
+    stopword_ratio,
+    tokens,
+)
+from ..operators.canonicalize import connected_components, normalize_predicates, remap_edge_endpoints
+from ..operators.dedup import (
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    simhash16,
+    simhash16_sql,
+)
+from ..operators.merge import merge_nodes
+from ..operators.multimodal import attach_media, extract_features
+from ..operators.similarity import topk_bruteforce, topk_ivf
+from ..sources.kgx import conform_nodes, nodes_to_typed_csv_df
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# Shared token expressions (Spark side) and SQL fragments (DuckDB side) —
+# kept textually adjacent so the two tokenizations can't drift.
+SQL_TOKS = r"list_filter(regexp_split_to_array(trim({col}), '\s+'), t -> t <> '')"
+
+
+def _sql_toks(col: str) -> str:
+    return SQL_TOKS.format(col=col)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / scalar predicates
+# ---------------------------------------------------------------------------
+
+@query(
+    "p_project_filter",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL AND o_orderstatus <> ''
+    """,
+)
+def p_project_filter(spark, sf_dir):
+    """P1/P2/P6 (convert_data.py:21-32, extract_gene_study_chr.py:130-135)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_custkey").isNotNull()
+        & (F.col("o_orderstatus") != "")
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+@query(
+    "p_substring_filters",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE contains(text, 'customer') AND NOT contains(text, 'slow')
+    """,
+)
+def p_substring_filters(spark, sf_dir):
+    """P3/P4 (convert_data.py:28,36): positive + negative contains."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("text").contains("customer") & ~F.col("text").contains("slow")
+    ).select("doc_id", "n_chars")
+
+
+@query(
+    "p_curie_constructors",
+    """
+    SELECT 'CUST:' || CAST(c_custkey AS VARCHAR) AS curie,
+           CAST(TRY_CAST(string_split(c_name, '#')[2] AS DOUBLE) AS INTEGER) AS cust_num,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def p_curie_constructors(spark, sf_dir):
+    """P7/F8/F9 (convert_data.py:43,72; extract_civic_data.py:36-39)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.concat(F.lit("CUST:"), F.col("c_custkey").cast("string")).alias("curie"),
+        F.element_at(F.split("c_name", "#"), 2)
+        .cast("double")
+        .cast("int")
+        .alias("cust_num"),
+        "c_mktsegment",
+    )
+
+
+@query(
+    "p_conditional_hgvs",
+    """
+    WITH v AS (
+      SELECT p_partkey,
+             CASE WHEN p_size % 2 = 0
+                  THEN 'NC_00000' || CAST(p_size AS VARCHAR) || '.11:g.' || CAST(p_partkey AS VARCHAR) || 'C>T'
+                  ELSE 'chr1:g.' || CAST(p_partkey AS VARCHAR) || 'C>T' END AS hgvsg,
+             'NC_000001.11:' || CAST(p_partkey AS VARCHAR) || ':C:T' AS spdi
+      FROM part
+    )
+    SELECT p_partkey,
+           CASE WHEN starts_with(hgvsg, 'NC_')
+                THEN 'HGVS:' || hgvsg
+                ELSE 'HGVS:' || string_split(spdi, ':')[1] || ':' ||
+                     array_to_string(string_split(hgvsg, ':')[2:], ':') END AS variant_id
+    FROM v
+    """,
+)
+def p_conditional_hgvs(spark, sf_dir):
+    """P8 (util.py:30-36): both format_hgvsg branches over derived strings."""
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("string")
+    hgvsg = F.when(
+        F.col("p_size") % 2 == 0,
+        F.concat(F.lit("NC_00000"), F.col("p_size").cast("string"), F.lit(".11:g."), pk, F.lit("C>T")),
+    ).otherwise(F.concat(F.lit("chr1:g."), pk, F.lit("C>T")))
+    spdi = F.concat(F.lit("NC_000001.11:"), pk, F.lit(":C:T"))
+    return p.select(
+        "p_partkey", format_hgvsg(hgvsg, spdi).alias("variant_id")
+    )
+
+
+@query(
+    "p_dict_decode",
+    """
+    SELECT event_id,
+           CASE event_type
+                WHEN 'missense_variant' THEN 'biolink:is_missense_variant_of'
+                WHEN 'synonymous_variant' THEN 'biolink:is_synonymous_variant_of'
+                WHEN 'frameshift_variant' THEN 'biolink:is_frameshift_variant_of'
+                WHEN 'splice_region_variant' THEN 'biolink:splice_site_variant_of'
+                WHEN 'splice_polymiridine_variant' THEN 'biolink:is_splice_site_variant_of'
+                WHEN 'protein_altering_variant' THEN 'biolink:protein_altering_variant'
+                WHEN 'intron_variant' THEN 'biolink:is_non_coding_variant_of'
+                ELSE 'biolink:is_molecular_consequence_of' END AS predicate
+    FROM events
+    """,
+)
+def p_dict_decode(spark, sf_dir):
+    """P9 (util.py:38-49): literal-map decode with default branch (every
+    event_type hits the default — the point is the expression shape)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", consequence_predicate(F.col("event_type")).alias("predicate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "j_left_equijoin",
+    """
+    SELECT o.o_orderkey, COALESCE(c.c_name, 'UNKNOWN') AS cust_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j_left_equijoin(spark, sf_dir):
+    """J1-J3 (extract_civic_data.py:104,115-118) + J5 fallback coalesce."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("c_name", F.lit("UNKNOWN")).alias("cust_name"),
+            "c_mktsegment",
+        )
+    )
+
+
+@query(
+    "j_broadcast_lookup",
+    """
+    SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j_broadcast_lookup(spark, sf_dir):
+    """J4 (extract_gene_study_chr.py:104,139): dictionary tables broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "j_canonical_key_join",
+    r"""
+    WITH keyed AS (
+      SELECT p_partkey,
+             array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(trim(lower(p_name)), '\s+'), t -> t <> '')
+             )), '|') AS canon_key
+      FROM part
+    )
+    SELECT canon_key, CAST(count(*) AS BIGINT) AS n_parts,
+           string_agg(CAST(p_partkey AS VARCHAR), ',' ORDER BY p_partkey) AS part_keys
+    FROM keyed GROUP BY canon_key HAVING count(*) > 1
+    """,
+)
+def j_canonical_key_join(spark, sf_dir):
+    """J6/O2 (map_therapy_id_revised.py:51-59): set-similarity join turned
+    into an equi-join on the canonical sorted-distinct token key."""
+    p = _t(spark, sf_dir, "part")
+    keyed = p.select(
+        "p_partkey", canonical_set_key(tokens(F.lower(F.col("p_name")))).alias("canon_key")
+    )
+    return (
+        keyed.groupBy("canon_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("p_partkey")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("part_keys"),
+        )
+        .filter(F.col("n_parts") > 1)
+    )
+
+
+@query(
+    "j_token_explode_reagg",
+    r"""
+    WITH exploded AS (
+      SELECT p_partkey, unnest(list_filter(regexp_split_to_array(trim(lower(p_name)), '\s+'), t -> t <> '')) AS token
+      FROM part
+    ),
+    lookup AS (SELECT DISTINCT token, substr(md5(token), 1, 8) AS token_id FROM exploded)
+    SELECT e.p_partkey,
+           string_agg(DISTINCT l.token_id, ',' ORDER BY l.token_id) AS token_ids
+    FROM exploded e JOIN lookup l ON e.token = l.token
+    GROUP BY e.p_partkey
+    """,
+)
+def j_token_explode_reagg(spark, sf_dir):
+    """J7 (map_therapy_id_revised.py:108-121): explode → broadcast lookup →
+    re-agg to a sorted comma-joined id list."""
+    p = _t(spark, sf_dir, "part")
+    exploded = p.select(
+        "p_partkey", F.explode(tokens(F.lower(F.col("p_name")))).alias("token")
+    )
+    lookup = F.broadcast(
+        exploded.select("token").distinct().select(
+            "token", F.substring(F.md5("token"), 1, 8).alias("token_id")
+        )
+    )
+    return (
+        exploded.join(lookup, "token")
+        .groupBy("p_partkey")
+        .agg(F.array_join(F.array_sort(F.collect_set("token_id")), ",").alias("token_ids"))
+    )
+
+
+@query(
+    "j_anti_dangling",
+    """
+    SELECT o.o_orderkey
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0
+    )
+    """,
+)
+def j_anti_dangling(spark, sf_dir):
+    """J9 (validation anti-join): orders whose customer is missing from the
+    positive-balance node set — dangling-edge detection shape."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return o.join(c, o.o_custkey == c.c_custkey, "left_anti").select("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+@query(
+    "a_distinct_multicol",
+    "SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey FROM lineitem",
+)
+def a_distinct_multicol(spark, sf_dir):
+    """A1/A2 (extract_civic_data.py:85; extract_gene_study_chr.py:141-142)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_suppkey").dropDuplicates()
+
+
+@query(
+    "a_grouped_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a_grouped_agg(spark, sf_dir):
+    """A5 (metadata.py census shape) as a TPC-H-Q1-style grouped aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "a_global_counts",
+    """
+    SELECT 'lineitem' AS table_name, CAST(count(*) AS BIGINT) AS n FROM lineitem
+    UNION ALL
+    SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n FROM orders
+    """,
+)
+def a_global_counts(spark, sf_dir):
+    """A6 (simple_neptune_agent.py:104-111): global counts."""
+    li = _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("lineitem").alias("table_name"), "n"
+    )
+    o = _t(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("orders").alias("table_name"), "n"
+    )
+    return li.unionByName(o)
+
+
+@query(
+    "a_degree_histogram",
+    """
+    WITH deg AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS degree FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(FLOOR(degree / 2) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_customers
+    FROM deg GROUP BY 1
+    """,
+)
+def a_degree_histogram(spark, sf_dir):
+    """A7 (goldenkg_v1_stats.csv shape): degree histogram, fixed-width bins."""
+    o = _t(spark, sf_dir, "orders")
+    deg = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.withColumn("bin", F.floor(F.col("degree") / 2))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "a_degree_summary",
+    """
+    WITH deg AS (SELECT o_custkey, count(*) AS degree FROM orders GROUP BY o_custkey)
+    SELECT ROUND(AVG(degree), 4) AS mean_degree,
+           ROUND(quantile_cont(degree, 0.5), 4) AS median_degree,
+           CAST(MAX(degree) AS BIGINT) AS max_degree
+    FROM deg
+    """,
+)
+def a_degree_summary(spark, sf_dir):
+    """A8 (agent notebook cell 4): mean + exact interpolated median degree."""
+    o = _t(spark, sf_dir, "orders")
+    deg = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.agg(
+        F.round(F.avg("degree"), 4).alias("mean_degree"),
+        F.round(F.expr("percentile(degree, 0.5)"), 4).alias("median_degree"),
+        F.max("degree").alias("max_degree"),
+    )
+
+
+@query(
+    "a_topn_by_group",
+    """
+    SELECT c_mktsegment, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY n_buyers DESC, c_mktsegment ASC
+    LIMIT 5
+    """,
+)
+def a_topn_by_group(spark, sf_dir):
+    """A9 ('top 5 diseases with most associated drugs' shape)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("n_buyers"))
+        .orderBy(F.col("n_buyers").desc(), F.col("c_mktsegment").asc())
+        .limit(5)
+    )
+
+
+@query(
+    "a_first_match_array",
+    r"""
+    SELECT doc_id,
+           list_filter(
+             list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''),
+             t -> starts_with(t, 's')
+           )[1] AS first_s_token
+    FROM documents
+    """,
+)
+def a_first_match_array(spark, sf_dir):
+    """A10/F12 (convert_data.py:93-94): first array element matching a
+    predicate — element_at(filter(...), 1)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.try_element_at(
+            F.filter(tokens("text"), lambda t: t.startswith("s")), F.lit(1)
+        ).alias("first_s_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Window functions / §2.6 sorts / §2.7 set ops
+# ---------------------------------------------------------------------------
+
+@query(
+    "w_window_funcs",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      FROM events
+    )
+    SELECT user_id, event_id, rn, ROUND(COALESCE(prev_value, -1.0), 2) AS prev_value
+    FROM w WHERE rn <= 3
+    """,
+)
+def w_window_funcs(spark, sf_dir):
+    """§2.5 (north_star window-over-turn_idx): row_number + lag per key."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.coalesce(F.lag("value").over(w), F.lit(-1.0)), 2).alias("prev_value"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "o_limit_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def o_limit_topk(spark, sf_dir):
+    """O1 (simple_neptune_agent.py:66,78,90): deterministic ORDER BY + LIMIT."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "u_union_sets",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def u_union_sets(spark, sf_dir):
+    """U1/U2 (merge.py:9-10,19-22): union + dedup."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "f_string_funcs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, toks[1] AS first_tok, toks[-1] AS last_tok,
+           CAST(len(toks) AS INTEGER) AS n_toks,
+           starts_with(toks[1], 'k') AS starts_k
+    FROM t
+    """,
+)
+def f_string_funcs(spark, sf_dir):
+    """F1/F4/F5 (convert_data.py:27,97; map_therapy_id_revised.py:43-49)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.try_element_at("toks", F.lit(1)).alias("first_tok"),
+        F.try_element_at("toks", F.lit(-1)).alias("last_tok"),
+        F.size("toks").alias("n_toks"),
+        F.try_element_at("toks", F.lit(1)).startswith("k").alias("starts_k"),
+    )
+
+
+@query(
+    "f_regexp_extract_all",
+    r"""
+    SELECT doc_id,
+           COALESCE(array_to_string(regexp_extract_all(text, '\b[a-z]*ar[a-z]*\b'), ';'), '') AS ar_tokens
+    FROM documents
+    """,
+)
+def f_regexp_extract_all(spark, sf_dir):
+    """F6 (convert_for_neptune_bulk.py:16,25,34): regexp_extract_all + join."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(r"\b[a-z]*ar[a-z]*\b"), 0), ";"
+        ).alias("ar_tokens"),
+    )
+
+
+@query(
+    "f_kv_parse_map",
+    """
+    WITH kv AS (
+      SELECT event_id,
+             'type=' || event_type || ';val=' || CAST(ROUND(value, 2) AS VARCHAR) AS blob
+      FROM events
+    )
+    SELECT event_id,
+           string_split(string_split(blob, ';')[1], '=')[2] AS etype,
+           string_split(string_split(blob, ';')[2], '=')[2] AS eval_str
+    FROM kv
+    """,
+)
+def f_kv_parse_map(spark, sf_dir):
+    """F7 (convert_data.py:97-110): kv-blob → map via str_to_map."""
+    e = _t(spark, sf_dir, "events")
+    blob = F.concat(
+        F.lit("type="), F.col("event_type"), F.lit(";val="),
+        F.round(F.col("value"), 2).cast("string"),
+    )
+    m = F.str_to_map(blob, F.lit(";"), F.lit("="))
+    return e.select(
+        "event_id",
+        m[F.lit("type")].alias("etype"),
+        m[F.lit("val")].alias("eval_str"),
+    )
+
+
+@query(
+    "f_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def f_json_extract(spark, sf_dir):
+    """F11 (metadata.py:9-10 json encode/decode): JSON field extraction."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@query(
+    "f_literal_eval_list",
+    r"""
+    WITH s AS (
+      SELECT doc_id, '[' || CAST(doc_id AS VARCHAR) || ', ' || CAST(n_chars AS VARCHAR) || ']' AS packed
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(
+             string_split(regexp_replace(packed, '[\[\] ]', '', 'g'), ','),
+             x -> CAST(x AS BIGINT))) AS BIGINT) AS parsed_sum
+    FROM s
+    """,
+)
+def f_literal_eval_list(spark, sf_dir):
+    """F10 (extract_civic_data.py:16-28): parse '[a, b]' list strings."""
+    d = _t(spark, sf_dir, "documents")
+    packed = F.concat(
+        F.lit("["), F.col("doc_id").cast("string"), F.lit(", "),
+        F.col("n_chars").cast("string"), F.lit("]"),
+    )
+    arr = F.split(F.regexp_replace(packed, r"[\[\] ]", ""), ",")
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(arr, lambda x: x.cast("bigint")), F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("parsed_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 Graph operators over testdata-derived graphs
+# ---------------------------------------------------------------------------
+
+@query(
+    "g_connected_components",
+    """
+    WITH members AS (
+      SELECT n_nationkey, n_regionkey FROM nation
+      WHERE n_regionkey IN (SELECT n_regionkey FROM nation GROUP BY 1 HAVING count(*) > 1)
+    )
+    SELECT 'N' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS id,
+           'N' || lpad(CAST(MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS VARCHAR), 3, '0') AS canonical_id
+    FROM members
+    """,
+)
+def g_connected_components(spark, sf_dir):
+    """G1 (normalize.py clique collapse): iterative min-label propagation.
+    Edges: consecutive nations within a region (chains force >1 iteration);
+    oracle knows the closed form (component == region, canonical == min)."""
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    chain = n.select(
+        F.col("n_nationkey").alias("a"),
+        F.lead("n_nationkey").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    fmt = lambda c: F.concat(F.lit("N"), F.lpad(c.cast("string"), 3, "0"))  # noqa: E731
+    edges = chain.select(fmt(F.col("a")).alias("id_a"), fmt(F.col("b")).alias("id_b"))
+    return connected_components(edges).select("id", "canonical_id")
+
+
+@query(
+    "g_node_merge",
+    """
+    WITH src AS (
+      SELECT 'C' || CAST(c_custkey AS VARCHAR) AS id, c_name AS name, 'biolink:Customer' AS cat
+      FROM customer
+      UNION ALL
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS id, NULL AS name, 'biolink:Buyer' AS cat
+      FROM orders
+    )
+    SELECT id, MIN(name) AS name,
+           string_agg(DISTINCT cat, ';' ORDER BY cat) AS category
+    FROM src GROUP BY id
+    """,
+)
+def g_node_merge(spark, sf_dir):
+    """J8/G4 (merge.py:19-22): same-id node merge — one winning name, union
+    of categories (sorted, ';'-joined for the comparison)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    s1 = c.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("id"),
+        F.col("c_name").alias("name"),
+        F.array(F.lit("biolink:Customer")).alias("category"),
+    )
+    s2 = o.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("id"),
+        F.lit(None).cast("string").alias("name"),
+        F.array(F.lit("biolink:Buyer")).alias("category"),
+    ).distinct()
+    merged = merge_nodes(conform_nodes(s1).unionByName(conform_nodes(s2)))
+    return merged.select("id", "name", F.array_join("category", ";").alias("category"))
+
+
+@query(
+    "g_predicate_normalize",
+    """
+    SELECT event_id,
+           CASE event_type WHEN 'click' THEN 'biolink:interacts_with'
+                           WHEN 'purchase' THEN 'biolink:acquires'
+                           ELSE event_type END AS predicate
+    FROM events
+    """,
+)
+def g_predicate_normalize(spark, sf_dir):
+    """G2 (normalize.py:28,35): broadcast predicate-map rewrite with
+    passthrough for unmapped predicates."""
+    e = _t(spark, sf_dir, "events")
+    spark_map = spark.createDataFrame(
+        [("click", "biolink:interacts_with"), ("purchase", "biolink:acquires")],
+        "raw_predicate string, biolink_predicate string",
+    )
+    edges = e.select("event_id", F.col("event_type").alias("predicate"))
+    return normalize_predicates(edges, spark_map).select("event_id", "predicate")
+
+
+@query(
+    "g_edge_remap",
+    """
+    WITH edges AS (
+      SELECT 'C' || CAST(o_custkey AS VARCHAR) AS subject,
+             'O' || CAST(o_orderkey AS VARCHAR) AS object
+      FROM orders
+    )
+    SELECT CASE WHEN CAST(substr(subject, 2) AS BIGINT) % 2 = 0
+                THEN 'CUST:' || substr(subject, 2) ELSE subject END AS subject,
+           object,
+           subject AS original_subject,
+           object AS original_object
+    FROM edges
+    """,
+)
+def g_edge_remap(spark, sf_dir):
+    """G3 (convert_for_neptune_bulk.py:76-77,98-99): canonical endpoint remap
+    keeping original_subject/original_object."""
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subject"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("object"),
+    )
+    c = _t(spark, sf_dir, "customer")
+    norm = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("id"),
+        F.concat(F.lit("CUST:"), F.col("c_custkey").cast("string")).alias("canonical_id"),
+    )
+    return remap_edge_endpoints(edges, norm).select(
+        "subject", "object", "original_subject", "original_object"
+    )
+
+
+@query(
+    "g_typed_csv_export",
+    """
+    SELECT 'C' || CAST(c_custkey AS VARCHAR) AS "id:ID",
+           c_name AS "name:string",
+           'biolink:Customer' AS "category:LABEL",
+           CAST(NULL AS VARCHAR) AS "properties:string"
+    FROM customer
+    """,
+)
+def g_typed_csv_export(spark, sf_dir):
+    """S7/S8 (kgx_converter.py:9-14; convert_for_neptune_bulk.py:46-47):
+    typed-header projection, arrays ';'-joined."""
+    c = _t(spark, sf_dir, "customer")
+    nodes = conform_nodes(
+        c.select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("id"),
+            F.col("c_name").alias("name"),
+            F.array(F.lit("biolink:Customer")).alias("category"),
+        )
+    )
+    return nodes_to_typed_csv_df(nodes)
+
+
+@query(
+    "kg_mentions_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')
+      )) AS term
+      FROM documents
+    )
+    SELECT DISTINCT 'DOC:' || CAST(doc_id AS VARCHAR) AS subject,
+           'biolink:mentions' AS predicate,
+           'TERM:' || term AS object
+    FROM toks
+    WHERE term IN ('customer','supplier','part','order','nation','region','line','query','join','merge')
+    """,
+)
+def kg_mentions_docs(spark, sf_dir):
+    """North-star extract→link→emit shape over the documents table with a
+    fixed lexicon: mention detection as explode + lexicon equi-join, emitting
+    doc-mentions-term triples (cf. emit_mention_triples)."""
+    d = _t(spark, sf_dir, "documents")
+    lexicon = ["customer", "supplier", "part", "order", "nation", "region",
+               "line", "query", "join", "merge"]
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("term")
+    )
+    lex = F.broadcast(
+        spark.createDataFrame([(t,) for t in lexicon], "term string")
+    )
+    return (
+        toks.join(lex, "term")
+        .select(
+            F.concat(F.lit("DOC:"), F.col("doc_id").cast("string")).alias("subject"),
+            F.lit("biolink:mentions").alias("predicate"),
+            F.concat(F.lit("TERM:"), F.col("term")).alias("object"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup family
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text), min-id survivor."""
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def _sql_shingles(text_col: str, n: int = 3) -> str:
+    toks = _sql_toks(text_col)
+    return (
+        f"CASE WHEN len({toks}) < {n} THEN [array_to_string({toks}, ' ')] "
+        f"ELSE list_transform(range(0, len({toks}) - {n} + 1), "
+        f"i -> array_to_string(({toks})[i + 1 : i + {n}], ' ')) END"
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {', '.join(
+                 f"list_min(list_transform({_sql_shingles('text')}, s -> md5('seed{i}:' || s))) AS h{i}"
+                 for i in range(8)
+             )}
+      FROM documents
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {b} AS band_idx, h{2 * b} || '|' || h{2 * b + 1} AS band_key FROM sig"
+          for b in range(4)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: shingle → 8 md5 minhashes → 4 bands
+    of 2 → band-key equi-join."""
+    return dedup_minhash_lsh(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash_fingerprint",
+    f"""
+    SELECT doc_id, CAST({simhash16_sql('text')} AS INTEGER) AS simhash
+    FROM documents
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash dedup key: 16-bit sign-sum fingerprint per document (identical
+    pairs share the fingerprint)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash16(F.col("text")).cast("int").alias("simhash"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_sql_shingles('text')})) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT id_a, id_b,
+             ROUND(ovl / (sa.sz + sb.sz - ovl), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.12
+    """,
+)
+def q_dedup_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs via inverted shingle index."""
+    return dedup_ngram_jaccard(_t(spark, sf_dir, "documents"), threshold=0.12)
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3) AS cos
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+      JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+        ON a.vec_id < b.vec_id
+    ) WHERE cos >= 0.8
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute force — the oracle-exact
+    baseline; LSH variant exercised in tests/bench)."""
+    return dedup_embedding_cosine(_t(spark, sf_dir, "embeddings"), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_COS = (
+    "list_dot_product(q.v, c.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
+)
+
+
+@query(
+    "sim_topk_bruteforce",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, ROUND({_SQL_COS}, 3) AS cos
+      FROM q JOIN c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos FROM ranked WHERE rank <= 3
+    """,
+)
+def q_sim_bruteforce(spark, sf_dir):
+    """ANN baseline: exact cosine top-k, broadcast queries × corpus."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    df = topk_bruteforce(embs, queries, k=3)
+    return df.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "cos")
+
+
+@query("sim_topk_ivf")  # approximate; non-SQL-expressible concisely → rows-only check
+def q_sim_ivf(spark, sf_dir):
+    """IVF-bucketed ANN: probe the 4 nearest of 16 cells (scale path)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    df = topk_ivf(embs, queries, k=3, n_cells=16, n_probe=4)
+    return df.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "cos")
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: text analysis
+# ---------------------------------------------------------------------------
+
+_SQL_STOP = "('" + "','".join(EN_STOPWORDS) + "')"
+
+
+@query(
+    "text_langid",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_toks('lower(text)')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0 AND
+                     len(list_filter(toks, x -> x IN {_SQL_STOP}))::DOUBLE / len(toks) >= 0.08
+                THEN 'en' ELSE 'unknown' END AS lang_guess
+    FROM t
+    """,
+)
+def q_text_langid(spark, sf_dir):
+    """Language ID heuristic: stopword-ratio threshold."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", langid_en("text").alias("lang_guess"))
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+             {_sql_toks('lower(text)')} AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((
+             (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) +
+             LEAST(n / 200.0, 1.0) +
+             (CASE WHEN len(toks) > 0
+                   THEN len(list_filter(toks, x -> x IN {_SQL_STOP})) / len(toks)
+                   ELSE 0.0 END)
+           ) / 3.0, 4) AS quality
+    FROM t
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Quality score: alpha ratio + length score + stopword ratio."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "text_token_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           ROUND(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS avg_tok_len
+    FROM t
+    """,
+)
+def q_text_token_stats(spark, sf_dir):
+    """Token counting: counts, distincts, char length, mean token length."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", "text", tokens("text").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.round(
+            F.aggregate(
+                F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
+            ).cast("double")
+            / F.size("toks"),
+            4,
+        ).alias("avg_tok_len"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    r"""
+    WITH canon AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+               '\([^)]*\)', '', 'g'),
+               '[^a-z0-9\s-]', ' ', 'g'),
+               '\s+', ' ', 'g')) AS ct
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             list_filter(regexp_split_to_array(trim(ct), '\s+'), t -> t <> '')
+           )), '|')) AS fp
+    FROM canon
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of the canonical sorted token set."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stubbed decode; rows-only check)
+# ---------------------------------------------------------------------------
+
+@query("mm_media_features")  # mapInPandas + binary payloads; no SQL oracle
+def q_mm_features(spark, sf_dir):
+    """Binary media columns + Arrow-batched feature extraction (stub decode)."""
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "sha",
+        F.round(F.element_at("feature", 4).cast("double"), 1).alias("f3"),
+        "frames_sampled",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stopword-ratio expression check (used by langid/quality — exported for
+# operator-level coverage)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_stopword_ratio",
+    f"""
+    WITH t AS (SELECT doc_id, {_sql_toks('lower(text)')} AS toks FROM documents)
+    SELECT doc_id,
+           ROUND(CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> x IN {_SQL_STOP}))::DOUBLE / len(toks)
+                 ELSE 0.0 END, 4) AS stop_ratio
+    FROM t
+    """,
+)
+def q_stopword_ratio(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(stopword_ratio("text"), 4).alias("stop_ratio"))

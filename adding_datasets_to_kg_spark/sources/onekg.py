@@ -40,14 +40,14 @@ def onekg_to_kgx(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
     # A10/F12: first array element matching a predicate (convert_data.py:93)
-    first_hgvs_tc = F.element_at(
+    first_hgvs_tc = F.try_element_at(
         F.filter(
             F.col("transcript_consequences"),
             lambda tc: tc["hgvsg"].isNotNull() & tc["spdi"].isNotNull(),
         ),
-        1,
+        F.lit(1),
     )
-    first_tc = F.element_at(F.col("transcript_consequences"), 1)
+    first_tc = F.try_element_at(F.col("transcript_consequences"), F.lit(1))
 
     # F7: kv-blob → map (convert_data.py:97-110). The frequency blob is the
     # last whitespace field of the raw VCF line.
