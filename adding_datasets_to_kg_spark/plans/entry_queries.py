@@ -947,13 +947,13 @@ def q_dedup_jaccard(spark, sf_dir):
       FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
       JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
         ON a.vec_id < b.vec_id
-    ) WHERE cos >= 0.8
+    ) WHERE cos >= 0.38
     """,
 )
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (brute force — the oracle-exact
     baseline; LSH variant exercised in tests/bench)."""
-    return dedup_embedding_cosine(_t(spark, sf_dir, "embeddings"), threshold=0.8)
+    return dedup_embedding_cosine(_t(spark, sf_dir, "embeddings"), threshold=0.38)
 
 
 # ---------------------------------------------------------------------------
