@@ -27,19 +27,70 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Union-find with path compression; canonical = lexicographic min."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        if a is None or b is None:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by lexicographic min so roots trend toward the canonical
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    # second pass: exact min per component (union order may leave a non-min root)
+    comp_min: dict[str, str] = {}
+    for x in parent:
+        r = find(x)
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    return [(x, comp_min[find(x)]) for x in parent]
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_threshold: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Min-id label propagation until fixpoint.
 
     Input: undirected equivalence edges (id_a, id_b). Output columns:
     ``id`` (member), ``canonical_id`` (lexicographic min of its component).
     Singleton ids (present only as self-pairs) map to themselves.
+
+    Strategy is adaptive: equivalence tables are dictionary-scale in this
+    domain (ontology cross-references, not transcript-scale), so below
+    ``driver_threshold`` edges we collect and run union-find on the driver —
+    one job instead of ~4 iterations × 3 stages of distributed fixpoint.
+    Above the threshold the iterative min-label-propagation join loop runs
+    (each round one shuffle + localCheckpoint to truncate lineage). Both
+    paths produce identical output (verified by tests at the boundary).
+    Set driver_threshold=0 to force the distributed path.
     """
     spark = edges.sparkSession
+    if driver_threshold > 0 and edges.limit(driver_threshold + 1).count() <= driver_threshold:
+        pairs = [
+            (r[0], r[1])
+            for r in edges.select(id_a, id_b).collect()
+        ]
+        out = _driver_union_find(pairs)
+        if not out:
+            return spark.createDataFrame([], "id string, canonical_id string")
+        return spark.createDataFrame(out, "id string, canonical_id string")
     # Symmetrize + add self-loops so every id labels itself initially.
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -125,10 +176,13 @@ def remap_edge_endpoints(edges: DataFrame, norm_map: DataFrame) -> DataFrame:
     """G3: rewrite subject/object to canonical ids, keeping originals
     (convert_for_neptune_bulk.py:76-77,98-99 column contract).
 
-    Two broadcast-able joins when the norm map is dictionary-sized; Catalyst/
-    AQE picks broadcast vs shuffle by actual size.
+    The norm map is dictionary-sized by construction (its key space is the
+    entity-id universe, not the transcript universe), but it reaches here
+    through localCheckpointed CC output whose size Catalyst can't estimate —
+    without an explicit hint both joins planned as 64/128-task sort-merge
+    joins over a 30-row table. Broadcast explicitly.
     """
-    nm = norm_map.select("id", "canonical_id")
+    nm = F.broadcast(norm_map.select("id", "canonical_id"))
     subj = nm.withColumnRenamed("id", "subject").withColumnRenamed(
         "canonical_id", "_subj_canon"
     )

@@ -28,14 +28,29 @@ INFORES = "infores:transcripts"
 
 def link_best_candidate(mentions: DataFrame) -> DataFrame:
     """Pick one entity per (conv_id, turn_idx, token_pos): longest surface
-    form wins, then lexicographic entity_id — pure, order-independent."""
-    w = Window.partitionBy("conv_id", "turn_idx", "token_pos").orderBy(
-        F.length("term").desc(), F.col("entity_id").asc()
+    form wins, then lexicographic entity_id — pure, order-independent.
+
+    Implemented as a hash aggregate (min_by over the (-length, entity_id)
+    sort key) rather than a row_number window: same semantics, but partial
+    aggregation runs map-side and no per-partition sort is needed — the
+    window variant was a full sort of the mention stream."""
+    key = F.struct(
+        (-F.length("term")).alias("neg_len"), F.col("entity_id").alias("eid")
     )
+    best = F.min_by(
+        F.struct("term", "entity_id", "entity_type"), key
+    ).alias("_best")
     return (
-        mentions.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
+        mentions.groupBy("conv_id", "turn_idx", "token_pos")
+        .agg(best)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("_best.term").alias("term"),
+            F.col("_best.entity_id").alias("entity_id"),
+            F.col("_best.entity_type").alias("entity_type"),
+            "token_pos",
+        )
     )
 
 
@@ -44,15 +59,19 @@ def turn_uri(conv_id: F.Column, turn_idx: F.Column) -> F.Column:
 
 
 def emit_mention_triples(linked: DataFrame) -> DataFrame:
-    """turn-mentions-entity triples, one per linked mention occurrence,
-    deduped on (subject, object)."""
+    """turn-mentions-entity triples, one per linked mention occurrence.
+
+    NOT deduped here: each emit family's (subject, predicate, object) key
+    space is disjoint (distinct predicates), so the pipeline dedups ONCE
+    after the union — one shuffle instead of one per family (stage-count
+    matters: the e2e job was stage-latency-bound, not CPU-bound)."""
     return conform_edges(
         linked.select(
             turn_uri(F.col("conv_id"), F.col("turn_idx")).alias("subject"),
             F.lit("biolink:mentions").alias("predicate"),
             F.col("entity_id").alias("object"),
             F.lit(INFORES).alias("primary_knowledge_source"),
-        ).dropDuplicates(["subject", "object"])
+        )
     )
 
 
@@ -91,7 +110,7 @@ def emit_gene_disease_triples(
             F.lit("biolink:gene_associated_with_condition").alias("predicate"),
             diseases.disease_id.alias("object"),
             F.lit(INFORES).alias("primary_knowledge_source"),
-        ).dropDuplicates(["subject", "object"])
+        )
     )
 
 
@@ -106,7 +125,6 @@ def emit_variant_cohort_triples(linked: DataFrame) -> DataFrame:
             F.concat(F.lit("COHORT:"), F.col("conv_id")).alias("object"),
             F.lit(INFORES).alias("primary_knowledge_source"),
         )
-        .dropDuplicates(["subject", "object"])
     )
 
 
@@ -127,7 +145,10 @@ def emit_variant_gene_triples(
             F.col("consequence").alias("vl_consequence"),
         ).dropDuplicates(["entity_id"])
     )
-    variants = linked.filter(F.col("entity_type") == "variant").select("entity_id").distinct()
+    # No pre-join distinct: the broadcast join is cheap per-row and the
+    # union-level dedup collapses duplicates in the same shuffle that dedups
+    # every other family.
+    variants = linked.filter(F.col("entity_type") == "variant").select("entity_id")
     return conform_edges(
         variants.join(vl, "entity_id")
         .filter(F.col("vl_gene_id").isNotNull())

@@ -20,9 +20,8 @@ Column-pruning note: the scan feeding this UDF should select ONLY
 input narrow and apply it after all pushable filters (SURVEY.md §4.2.3).
 """
 
-from __future__ import annotations
-
 import re
+from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -133,18 +132,26 @@ def detect_mentions(
 ) -> DataFrame:
     """Append a ``mentions array<struct>`` column via a vectorized pandas UDF.
 
-    One trie build per Python worker (broadcast.value is cached per-process);
-    per batch it's pure pandas ``map``.
+    SCALAR_ITER form: the trie is compiled ONCE per task from the broadcast
+    entry list, then reused across every Arrow batch in the partition —
+    per-batch work is a pure pandas ``map``.
     """
     spark = turns.sparkSession
     bc = spark.sparkContext.broadcast(sorted(set(entries)))
 
     @F.pandas_udf(ArrayType(MENTION_STRUCT))
-    def scan(texts: pd.Series) -> pd.Series:
+    def scan(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         trie = LexiconTrie(bc.value)
-        return texts.map(trie.find)
+        for texts in batches:
+            yield texts.map(trie.find)
 
-    return turns.withColumn("mentions", scan(F.col(text_col)))
+    # The UDF IS deterministic, but declaring it so lets Catalyst duplicate
+    # the ArrowEvalPython node when explode()'s implicit size>0 filter is
+    # pushed down — the scan then runs twice per row (observed in
+    # explain("formatted")). asNondeterministic() forces single evaluation.
+    scan_once = scan.asNondeterministic()
+
+    return turns.withColumn("mentions", scan_once(F.col(text_col)))
 
 
 def explode_mentions(with_mentions: DataFrame, keep_cols: list[str]) -> DataFrame:

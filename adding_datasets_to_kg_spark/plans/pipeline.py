@@ -71,21 +71,39 @@ def ordered_turns(transcripts: DataFrame) -> DataFrame:
 
 
 def extract_linked_mentions(transcripts: DataFrame, lex: Lexicons) -> DataFrame:
-    """Stages 1-2: narrow projection → mention UDF → explode → link."""
-    narrow = transcripts.select("conv_id", "turn_idx", "text")
+    """Stages 1-2: narrow projection → partition by conv_id → mention UDF →
+    explode → link.
+
+    The ONE explicit repartition on conv_id here is the north-star
+    "explicit partitioning on conv_id buckets": every downstream
+    per-conversation operator (link aggregate on (conv,turn,pos), the
+    distinct on (conv,turn,entity), the same-turn gene×disease join on
+    (conv,turn)) clusters on keys that CONTAIN conv_id, so Catalyst
+    recognizes the child partitioning as satisfying and plans them all
+    WITHOUT further exchanges — the mention stream is shuffled zero times
+    after this point. With an Iceberg bucket(conv_id) table layout the
+    read itself arrives bucketed and even this shuffle disappears; on flat
+    parquet it is one pass over the narrow projection."""
+    narrow = transcripts.select("conv_id", "turn_idx", "text").repartition("conv_id")
     with_mentions = detect_mentions(narrow, lex.entries())
     mentions = explode_mentions(with_mentions, ["conv_id", "turn_idx"])
     return link_best_candidate(mentions)
 
 
 def emit_triples(linked: DataFrame, lex: Lexicons) -> DataFrame:
-    """Stage 3: union of the four triple families."""
-    return (
+    """Stage 3: union of the four triple families, deduped in ONE shuffle.
+
+    Families carry disjoint predicates, so a single post-union
+    dropDuplicates on the edge key replaces four per-family dedups — the
+    e2e job is stage-latency-bound at small scale and shuffle-bound at
+    large scale; either way fewer shuffles win."""
+    union = (
         emit_mention_triples(linked)
         .unionByName(emit_gene_disease_triples(linked, lex.disease))
         .unionByName(emit_variant_cohort_triples(linked))
         .unionByName(emit_variant_gene_triples(linked, lex.variant), allowMissingColumns=True)
     )
+    return union.dropDuplicates(["subject", "predicate", "object"])
 
 
 def build_nodes_for_edges(edges: DataFrame, lex: Lexicons) -> DataFrame:
@@ -130,10 +148,15 @@ def canonicalize_graph(
     if lex.id_equivalences is None:
         return nodes, edges, None, None
     norm_map, failures = normalization_map(nodes, lex.id_equivalences)
+    # Materialize once: three consumers below (subject remap, object remap,
+    # node join) would each re-run the CC-derived plan otherwise.
+    norm_map = norm_map.localCheckpoint(eager=True)
     edges = remap_edge_endpoints(edges, norm_map)
     if lex.predicate_map is not None:
         edges = normalize_predicates(edges, lex.predicate_map)
-    nm = norm_map.select("id", "canonical_id", "equivalent_identifiers")
+    # Dictionary-sized (entity-id universe) → broadcast; see
+    # remap_edge_endpoints for why the hint is explicit.
+    nm = F.broadcast(norm_map.select("id", "canonical_id", "equivalent_identifiers"))
     nodes = (
         nodes.join(nm, "id", "left")
         .select(
@@ -162,9 +185,24 @@ def run_pipeline(
     compute_metadata: bool = True,
 ) -> dict:
     """One-shot (non-checkpointed) run. Returns dict with nodes/edges/
-    metadata/norm artifacts — the Spark analog of midas.pipeline.run_pipeline."""
-    linked = extract_linked_mentions(transcripts, lex)
-    edges = emit_triples(linked, lex)
+    metadata/norm artifacts — the Spark analog of midas.pipeline.run_pipeline.
+
+    Reuse points are persisted, and only NARROW data is persisted: the four
+    emit families consume just (conv_id, turn_idx, entity_id, entity_type),
+    so the wide mention stream (term/token_pos strings) is traversed exactly
+    once — scan → link-agg → distinct — and the small distinct projection is
+    what gets cached and re-read. Without this the mention-scan UDF DAG
+    re-executed once per consumer (observed 8× at bench scale).
+    MEMORY_AND_DISK so a 100 TB run degrades to spill, never recompute."""
+    from pyspark import StorageLevel
+
+    linked = (
+        extract_linked_mentions(transcripts, lex)
+        .select("conv_id", "turn_idx", "entity_id", "entity_type")
+        .dropDuplicates()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges = emit_triples(linked, lex).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = build_nodes_for_edges(edges, lex)
     nodes, edges, norm_map, failures = canonicalize_graph(nodes, edges, lex)
     nodes = merge_nodes(nodes)
@@ -223,7 +261,12 @@ def run_pipeline_checkpointed(
         if b in done:
             continue
         part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-        linked = extract_linked_mentions(part, lex)
+        linked = (
+            extract_linked_mentions(part, lex)
+            .select("conv_id", "turn_idx", "entity_id", "entity_type")
+            .dropDuplicates()
+            .localCheckpoint(eager=False)
+        )
         edges = emit_triples(linked, lex)
         t0 = time.time()
         edge_path = os.path.join(output_dir, "triples", f"bucket={b}")

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus the end-to-end transcript→triple
+pipeline throughput (turns/sec — the north-rule metric), and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Execution is forced with the noop sink (full computation, zero
+collect-to-driver) so timings reflect the distributed plan, not driver
+materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# turns for the pipeline throughput bench (Spark-native generated, no driver data)
+PIPELINE_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "400000"))
+
+
+def _force(df) -> int:
+    """Fully execute a plan without collecting rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from adding_datasets_to_kg_spark.session import get_spark
+    from adding_datasets_to_kg_spark.datagen.transcripts import (
+        disease_lexicon_df,
+        gene_lexicon_df,
+        generate_transcripts_distributed,
+        id_equivalences_df,
+        predicate_map_df,
+        variant_lexicon_df,
+    )
+    from adding_datasets_to_kg_spark.plans.pipeline import Lexicons, run_pipeline
+    from __spark_entry__ import queries
+
+    spark = get_spark("kg-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = SF_DIR  # non-sfN-named dir: report the path, don't crash
+    timings: dict[str, float] = {}
+
+    # --- per-operator headline queries (registry order) ---
+    for name, fn in queries().items():
+        t0 = time.time()
+        try:
+            _force(fn(spark, SF_DIR))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — a broken query must not hide the rest
+            timings[name] = -1.0
+            print(f"[bench] FAIL {name}: {exc}", file=sys.stderr)
+
+    # --- end-to-end transcript pipeline (north-rule turns/sec) ---
+    lex = Lexicons(
+        gene=gene_lexicon_df(spark),
+        disease=disease_lexicon_df(spark),
+        variant=variant_lexicon_df(spark),
+        id_equivalences=id_equivalences_df(spark),
+        predicate_map=predicate_map_df(spark),
+    )
+    transcripts = generate_transcripts_distributed(spark, PIPELINE_TURNS // 20, 20)
+    transcripts.write.format("noop").mode("overwrite").save()  # warm codegen
+    t0 = time.time()
+    out = run_pipeline(transcripts, lex, compute_metadata=False)
+    _force(out["edges"])
+    _force(out["nodes"])
+    pipeline_sec = round(time.time() - t0, 3)
+    timings["kg_pipeline_e2e"] = pipeline_sec
+    turns_per_sec = round(PIPELINE_TURNS / pipeline_sec, 1)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline_turns": PIPELINE_TURNS,
+                "pipeline_turns_per_sec": turns_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

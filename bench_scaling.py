@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling bench (north-rule evidence).
+
+The north rule requires throughput scaling efficiency >= 0.8 when a cluster
+grows N -> 4N executors. No real cluster exists in this sandbox, so we run
+the SAME pipeline on the SAME deterministic input at local[8] and local[32]
+(8 -> 32 cores = N -> 4N) in separate JVMs and report:
+
+    efficiency = throughput(32) / (4 * throughput(8))
+
+Usage: python bench_scaling.py [n_turns]   (default 1,000,000)
+Prints one JSON line with both throughputs and the efficiency.
+Child mode (internal): python bench_scaling.py --child <cpus> <n_turns>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def run_child(cpus: int, n_turns: int) -> None:
+    from adding_datasets_to_kg_spark.session import get_spark
+    from adding_datasets_to_kg_spark.datagen.transcripts import (
+        disease_lexicon_df,
+        gene_lexicon_df,
+        generate_transcripts_distributed,
+        id_equivalences_df,
+        predicate_map_df,
+        variant_lexicon_df,
+    )
+    from adding_datasets_to_kg_spark.plans.pipeline import Lexicons, run_pipeline
+
+    spark = get_spark(f"kg-scaling-{cpus}", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    lex = Lexicons(
+        gene=gene_lexicon_df(spark),
+        disease=disease_lexicon_df(spark),
+        variant=variant_lexicon_df(spark),
+        id_equivalences=id_equivalences_df(spark),
+        predicate_map=predicate_map_df(spark),
+    )
+    transcripts = generate_transcripts_distributed(spark, n_turns // 20, 20)
+    transcripts.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.time()
+    out = run_pipeline(transcripts, lex, compute_metadata=False)
+    out["edges"].write.format("noop").mode("overwrite").save()
+    out["nodes"].write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 2),
+                      "turns_per_sec": round(n_turns / wall, 1)}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        run_child(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(n_turns)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    eff = results[32]["turns_per_sec"] / (4 * results[8]["turns_per_sec"])
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_turns": n_turns,
+        "local8": results[8],
+        "local32": results[32],
+        "rule": "throughput(4N) / (4 * throughput(N)) ; target >= 0.8 counts "
+                "linear speedup as 1.0 (sandbox stand-in for N->4N executors)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,24 @@ def test_connected_components_order_invariance(spark):
     assert as_map["x"] == "x" and as_map["y"] == "x"
 
 
+def test_connected_components_strategies_agree(spark):
+    """Driver union-find (small path) and the distributed iterative-join
+    fixpoint (driver_threshold=0) produce identical labelings."""
+    from adding_datasets_to_kg_spark.operators.canonicalize import connected_components
+
+    edges = [("b", "a"), ("c", "b"), ("x", "y"), ("q", "q"), ("m", "n"),
+             ("n", "o"), ("o", "p"), ("p", "pp"), ("a", "a0")]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    fast = {(r["id"], r["canonical_id"]) for r in connected_components(df).collect()}
+    dist = {
+        (r["id"], r["canonical_id"])
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    as_map = dict(fast)
+    assert as_map["c"] == "a" and as_map["a0"] == "a" and as_map["pp"] == "m"
+
+
 def test_canonical_key_join_order_insensitive(spark):
     """J6 property test: shuffled token order yields identical keys."""
     from adding_datasets_to_kg_spark.functions.text import canonical_set_key
