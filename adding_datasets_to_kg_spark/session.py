@@ -32,9 +32,16 @@ def get_spark(
     own master/conf via spark-submit and everything here acts as defaults.
     """
     cpus = cpus or DEFAULT_CPUS
+    builder = SparkSession.builder.appName(app_name)
+    # Under spark-submit the master (and cluster sizing) comes from the
+    # launcher; only fall back to local[N] when none was provided, so the
+    # same code path serves pytest/bench (local) and cluster deployments.
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        builder
         # --- adaptive execution: runtime re-planning + skew defense ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

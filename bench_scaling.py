@@ -25,6 +25,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+
+
 def run_child(cpus: int, n_turns: int) -> None:
     from adding_datasets_to_kg_spark.session import get_spark
     from adding_datasets_to_kg_spark.datagen.transcripts import (
@@ -46,15 +49,26 @@ def run_child(cpus: int, n_turns: int) -> None:
         id_equivalences=id_equivalences_df(spark),
         predicate_map=predicate_map_df(spark),
     )
-    transcripts = generate_transcripts_distributed(spark, n_turns // 20, 20)
-    transcripts.write.format("noop").mode("overwrite").save()  # warm
-    t0 = time.time()
-    out = run_pipeline(transcripts, lex, compute_metadata=False)
-    out["edges"].write.format("noop").mode("overwrite").save()
-    out["nodes"].write.format("noop").mode("overwrite").save()
-    wall = time.time() - t0
-    print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 2),
-                      "turns_per_sec": round(n_turns / wall, 1)}))
+    def one_run(n: int) -> float:
+        transcripts = generate_transcripts_distributed(spark, n // 20, 20)
+        t0 = time.time()
+        out = run_pipeline(transcripts, lex, compute_metadata=False)
+        out["edges"].write.format("noop").mode("overwrite").save()
+        out["nodes"].write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        spark.catalog.clearCache()
+        return wall
+
+    # Warm-up at 1/8 scale: compiles/JITs every plan in the job once, so the
+    # measured runs reflect steady-state cluster behavior, not first-run
+    # codegen latency (which is constant and serial, and on this noisy
+    # sandbox swamps the scaling signal at small N).
+    one_run(max(n_turns // 8, 20_000))
+    walls = [one_run(n_turns) for _ in range(REPS)]
+    best = min(walls)
+    print(json.dumps({"cpus": cpus, "wall_sec": round(best, 2),
+                      "all_walls": [round(w, 2) for w in walls],
+                      "turns_per_sec": round(n_turns / best, 1)}))
     spark.stop()
 
 

@@ -1,0 +1,30 @@
+#!/usr/bin/env python
+"""Build dist/adding_datasets_to_kg_spark.zip for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "adding_datasets_to_kg_spark"
+
+
+def main() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    out = os.path.join(dist, f"{PKG}.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(os.path.join(REPO, PKG)):
+            if "__pycache__" in root:
+                continue
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, REPO))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()
