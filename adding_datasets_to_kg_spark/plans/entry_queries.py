@@ -844,6 +844,54 @@ def kg_mentions_docs(spark, sf_dir):
     )
 
 
+@query(
+    "g_two_hop_pattern",
+    """
+    SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1, 2
+    """,
+)
+def g_two_hop_pattern(spark, sf_dir):
+    """G7 (simple_neptune_agent.py:59-68): MATCH (a)-[r]->(b) 2-hop pattern
+    as an edge⋈node⋈node join chain, aggregated for a stable oracle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
+@query(
+    "f_multi_sep_split",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(
+             regexp_split_to_array(lower(text), '\s*(?:/|,|;|\+|&|\band\b|\bwith\b)\s*|\s+'),
+             t -> t <> ''
+           )) AS INTEGER) AS n_units
+    FROM documents
+    """,
+)
+def f_multi_sep_split(spark, sf_dir):
+    """F2 (map_therapy_id_revised.py:15-40): multi-separator regex split
+    (slashes, commas, semicolons, plus, ampersand, 'and', 'with')."""
+    d = _t(spark, sf_dir, "documents")
+    units = F.filter(
+        F.split(F.lower("text"), r"\s*(?:/|,|;|\+|&|\band\b|\bwith\b)\s*|\s+"),
+        lambda t: t != "",
+    )
+    return d.select("doc_id", F.size(units).alias("n_units"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops: dedup family
 # ---------------------------------------------------------------------------

@@ -202,7 +202,14 @@ def run_pipeline(
         .dropDuplicates()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize the cache with ONE action before any consumer: AQE runs the
+    # emit-union's branches as concurrent query-stage jobs, and concurrent
+    # first-readers of a persisted-but-unmaterialized plan RACE — each branch
+    # recomputed the full scan in parallel (observed as N identical 10s
+    # stages splitting the cores N ways; scaling went flat).
+    linked.count()
     edges = emit_triples(linked, lex).persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()  # same reasoning: node-build + canonicalize + export fan out
     nodes = build_nodes_for_edges(edges, lex)
     nodes, edges, norm_map, failures = canonicalize_graph(nodes, edges, lex)
     nodes = merge_nodes(nodes)
@@ -265,7 +272,7 @@ def run_pipeline_checkpointed(
             extract_linked_mentions(part, lex)
             .select("conv_id", "turn_idx", "entity_id", "entity_type")
             .dropDuplicates()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)  # eager: emit branches run concurrently
         )
         edges = emit_triples(linked, lex)
         t0 = time.time()
