@@ -502,6 +502,39 @@ def w_window_funcs(spark, sf_dir):
 
 
 @query(
+    "w_tumbling_window",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def w_tumbling_window(spark, sf_dir):
+    """Streaming-style tumbling event-time window as a batch groupBy
+    (F.window) — the windowed-agg shape Structured Streaming reuses
+    (SURVEY.md §2.10; our engine's incremental path is
+    streaming/incremental.py)."""
+    e = _t(spark, sf_dir, "events")
+    w = F.window("ts", "1 day")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
     "o_limit_topk",
     """
     SELECT o_orderkey, o_totalprice FROM orders

@@ -1,0 +1,83 @@
+"""Incremental (Structured Streaming) ingest parity + restart semantics.
+
+The stream reuses the batch operators per micro-batch, so the distinct
+(subject, predicate, object) set after draining must equal the batch
+pipeline's pre-canonicalization triple set over the same rows — and a second
+drain after new files arrive must process ONLY the new files (streaming
+checkpoint) while the union still matches batch over everything.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from adding_datasets_to_kg_spark.datagen import transcripts as dg
+from adding_datasets_to_kg_spark.plans.pipeline import (
+    Lexicons,
+    emit_triples,
+    extract_linked_mentions,
+)
+from adding_datasets_to_kg_spark.streaming.incremental import (
+    read_streamed_triples,
+    stream_triples,
+)
+
+
+@pytest.fixture(scope="module")
+def lex(spark):
+    return Lexicons(
+        gene=dg.gene_lexicon_df(spark),
+        disease=dg.disease_lexicon_df(spark),
+        variant=dg.variant_lexicon_df(spark),
+    )
+
+
+def batch_triples(df, lex):
+    linked = extract_linked_mentions(df, lex).select(
+        "conv_id", "turn_idx", "entity_id", "entity_type"
+    ).dropDuplicates()
+    return {
+        (r["subject"], r["predicate"], r["object"])
+        for r in emit_triples(linked, lex).select("subject", "predicate", "object")
+        .distinct().collect()
+    }
+
+
+def test_stream_matches_batch_and_resumes(spark, lex, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    chunk1 = spark.createDataFrame(dg.generate_corpus(10, seed=3), dg.TRANSCRIPT_SCHEMA)
+    chunk1.write.mode("append").parquet(in_dir)
+
+    q = stream_triples(spark, in_dir, out_dir, lex)
+    q.awaitTermination()
+    rows_after_first = read_streamed_triples(spark, out_dir).count()
+    got1 = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in read_streamed_triples(spark, out_dir)
+        .select("subject", "predicate", "object").distinct().collect()
+    }
+    assert got1 == batch_triples(chunk1, lex)
+    assert len(got1) > 0
+
+    # new files arrive; re-run with the SAME checkpoint → only new processed
+    chunk2 = spark.createDataFrame(dg.generate_corpus(8, seed=11), dg.TRANSCRIPT_SCHEMA)
+    chunk2.write.mode("append").parquet(in_dir)
+    q2 = stream_triples(spark, in_dir, out_dir, lex)
+    q2.awaitTermination()
+
+    got_all = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in read_streamed_triples(spark, out_dir)
+        .select("subject", "predicate", "object").distinct().collect()
+    }
+    want_all = batch_triples(chunk1, lex) | batch_triples(chunk2, lex)
+    assert got_all == want_all
+    # checkpoint really skipped chunk1: the second drain appended only
+    # chunk2-sized output (reprocessing chunk1 would roughly double it)
+    linked2 = extract_linked_mentions(chunk2, lex).select(
+        "conv_id", "turn_idx", "entity_id", "entity_type"
+    ).dropDuplicates()
+    chunk2_rows = emit_triples(linked2, lex).count()
+    rows_after_second = read_streamed_triples(spark, out_dir).count()
+    assert rows_after_second == rows_after_first + chunk2_rows
