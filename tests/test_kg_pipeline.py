@@ -159,6 +159,22 @@ def test_connected_components_strategies_agree(spark):
     assert as_map["c"] == "a" and as_map["a0"] == "a" and as_map["pp"] == "m"
 
 
+def test_salted_degree_agg_on_hub_skew(spark):
+    """The two-phase salted degree count is exact under hub skew: one node
+    participating in 10k edges vs a long tail of degree-1 nodes."""
+    from adding_datasets_to_kg_spark.operators.stats import node_degrees
+
+    hub = [("HUB", f"t{i}") for i in range(10_000)]
+    tail = [(f"a{i}", f"b{i}") for i in range(500)]
+    edges = spark.createDataFrame(hub + tail, "subject string, object string").select(
+        "subject", F.lit("biolink:mentions").alias("predicate"), "object"
+    )
+    deg = {r["id"]: r["degree"] for r in node_degrees(edges).collect()}
+    assert deg["HUB"] == 10_000
+    assert deg["a7"] == 1 and deg["b7"] == 1
+    assert deg["t123"] == 1
+
+
 def test_canonical_key_join_order_insensitive(spark):
     """J6 property test: shuffled token order yields identical keys."""
     from adding_datasets_to_kg_spark.functions.text import canonical_set_key

@@ -1,0 +1,24 @@
+"""ANN quality: IVF-probed top-k recall against the exact brute-force oracle."""
+
+from pyspark.sql import functions as F
+
+from adding_datasets_to_kg_spark.operators.similarity import topk_bruteforce, topk_ivf
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    exact = topk_bruteforce(embs, queries, k=5)
+    approx = topk_ivf(embs, queries, k=5, n_cells=16, n_probe=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing half the cells must recover most exact neighbors
+    assert recall >= 0.6, f"recall@5 {recall:.2f}"
+    # approx scores are true cosines: every overlapping pair agrees exactly
+    es = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact.collect()}
+    aps = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in approx.collect()}
+    for key in e & a:
+        assert es[key] == aps[key]
