@@ -113,9 +113,11 @@ def write_kgx_jsonl(nodes: DataFrame, edges: DataFrame, nodes_path: str, edges_p
 
 
 def read_kgx_jsonl(spark, nodes_path: str, edges_path: str) -> tuple[DataFrame, DataFrame]:
+    """Explicit schemas: inference would type the dynamic ``properties`` JSON
+    object as a struct of whichever keys appear, not map<string,string>."""
     return (
-        conform_nodes(spark.read.json(nodes_path)),
-        conform_edges(spark.read.json(edges_path)),
+        conform_nodes(spark.read.schema(NODE_SCHEMA).json(nodes_path)),
+        conform_edges(spark.read.schema(EDGE_SCHEMA).json(edges_path)),
     )
 
 
