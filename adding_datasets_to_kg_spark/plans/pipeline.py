@@ -80,14 +80,17 @@ def extract_linked_mentions(transcripts: DataFrame, lex: Lexicons) -> DataFrame:
     distinct on (conv,turn,entity), the same-turn gene×disease join on
     (conv,turn)) clusters on keys that CONTAIN conv_id, so Catalyst
     recognizes the child partitioning as satisfying and plans them all
-    WITHOUT further exchanges — the mention stream is shuffled zero times
-    after this point. With an Iceberg bucket(conv_id) table layout the
-    read itself arrives bucketed and even this shuffle disappears; on flat
-    parquet it is one pass over the narrow projection."""
-    narrow = transcripts.select("conv_id", "turn_idx", "text").repartition("conv_id")
+    WITHOUT further exchanges — the mention stream is shuffled exactly
+    once. The repartition sits AFTER the UDF+explode, not before: when an
+    aggregate's grouping keys reference python-UDF-derived columns, UDF
+    extraction re-plans the exchange and the subset-key satisfies check is
+    defeated (verified empirically: repartition-before-UDF plans 3
+    exchanges, repartition-after plans 1). With an Iceberg bucket(conv_id)
+    layout + storage-partitioned reads this shuffle disappears too."""
+    narrow = transcripts.select("conv_id", "turn_idx", "text")
     with_mentions = detect_mentions(narrow, lex.entries())
     mentions = explode_mentions(with_mentions, ["conv_id", "turn_idx"])
-    return link_best_candidate(mentions)
+    return link_best_candidate(mentions.repartition("conv_id"))
 
 
 def emit_triples(linked: DataFrame, lex: Lexicons) -> DataFrame:
