@@ -59,6 +59,30 @@ class Lexicons:
         return self._entries
 
 
+def load_lexicons(spark: SparkSession, lexicon_dir: str) -> Lexicons:
+    """Production lexicon loading: dictionary tables as parquet under one
+    directory — gene_lexicon / disease_lexicon / variant_lexicon required,
+    id_equivalences / predicate_map optional (pipeline skips canonicalize /
+    predicate normalization when absent, mirroring the reference running
+    without NodeNorm)."""
+
+    def read(name: str, required: bool = True) -> DataFrame | None:
+        path = os.path.join(lexicon_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            if required:
+                raise FileNotFoundError(f"required lexicon table missing: {path}")
+            return None
+        return spark.read.parquet(path)
+
+    return Lexicons(
+        gene=read("gene_lexicon"),
+        disease=read("disease_lexicon"),
+        variant=read("variant_lexicon"),
+        id_equivalences=read("id_equivalences", required=False),
+        predicate_map=read("predicate_map", required=False),
+    )
+
+
 def ordered_turns(transcripts: DataFrame) -> DataFrame:
     """Stable per-conversation ordering via window-over-turn_idx (north_star).
 

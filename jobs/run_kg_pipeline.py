@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--synthetic-turns", type=int, default=None,
                     help="generate a deterministic synthetic corpus instead of --input")
+    ap.add_argument("--lexicon-dir", default=None,
+                    help="directory of parquet lexicon tables (gene_lexicon/"
+                         "disease_lexicon/variant_lexicon[,id_equivalences,"
+                         "predicate_map]); default: built-in fixture lexicons")
     ap.add_argument("--no-resume", action="store_true",
                     help="one-shot run without per-bucket checkpoints")
     args = ap.parse_args()
@@ -62,6 +66,7 @@ def main() -> None:
     from adding_datasets_to_kg_spark.operators.stats import graph_metadata
     from adding_datasets_to_kg_spark.plans.pipeline import (
         Lexicons,
+        load_lexicons,
         run_pipeline,
         run_pipeline_checkpointed,
     )
@@ -76,13 +81,16 @@ def main() -> None:
     else:
         ap.error("one of --input or --synthetic-turns is required")
 
-    lex = Lexicons(
-        gene=gene_lexicon_df(spark),
-        disease=disease_lexicon_df(spark),
-        variant=variant_lexicon_df(spark),
-        id_equivalences=id_equivalences_df(spark),
-        predicate_map=predicate_map_df(spark),
-    )
+    if args.lexicon_dir:
+        lex = load_lexicons(spark, args.lexicon_dir)
+    else:
+        lex = Lexicons(
+            gene=gene_lexicon_df(spark),
+            disease=disease_lexicon_df(spark),
+            variant=variant_lexicon_df(spark),
+            id_equivalences=id_equivalences_df(spark),
+            predicate_map=predicate_map_df(spark),
+        )
 
     t0 = time.time()
     if args.no_resume:

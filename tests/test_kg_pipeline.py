@@ -159,6 +159,28 @@ def test_connected_components_strategies_agree(spark):
     assert as_map["c"] == "a" and as_map["a0"] == "a" and as_map["pp"] == "m"
 
 
+def test_load_lexicons_from_parquet_dir(spark, tmp_path, corpus, lex):
+    """Production lexicon path: parquet dir → load_lexicons → same triples
+    as the in-memory fixture lexicons."""
+    from adding_datasets_to_kg_spark.plans.pipeline import load_lexicons, run_pipeline
+
+    d = str(tmp_path / "lexicons")
+    lex.gene.write.parquet(f"{d}/gene_lexicon.parquet")
+    lex.disease.write.parquet(f"{d}/disease_lexicon.parquet")
+    lex.variant.write.parquet(f"{d}/variant_lexicon.parquet")
+    lex.id_equivalences.write.parquet(f"{d}/id_equivalences.parquet")
+    lex.predicate_map.write.parquet(f"{d}/predicate_map.parquet")
+
+    loaded = load_lexicons(spark, d)
+    got = run_pipeline(corpus, loaded, compute_metadata=False)
+    want = run_pipeline(corpus, lex, compute_metadata=False)
+    key = lambda df: {  # noqa: E731
+        (r["subject"], r["predicate"], r["object"])
+        for r in df.select("subject", "predicate", "object").collect()
+    }
+    assert key(got["edges"]) == key(want["edges"])
+
+
 def test_salted_degree_agg_on_hub_skew(spark):
     """The two-phase salted degree count is exact under hub skew: one node
     participating in 10k edges vs a long tail of degree-1 nodes."""
