@@ -517,6 +517,10 @@ def w_tumbling_window(spark, sf_dir):
     (F.window) — the windowed-agg shape Structured Streaming reuses
     (SURVEY.md §2.10; our engine's incremental path is
     streaming/incremental.py)."""
+    # Day-window boundaries + date_format are session-timezone-dependent;
+    # the DuckDB oracle buckets naive timestamps (= UTC semantics). Pin UTC
+    # so the comparison holds under any harness session config.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events")
     w = F.window("ts", "1 day")
     return (
