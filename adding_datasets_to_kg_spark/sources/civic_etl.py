@@ -179,22 +179,29 @@ def enrich_therapy_ids(
         ).dropDuplicates(["_tok"])
     )
 
+    # All joins key on the DETERMINISTIC canonical combo key (never a
+    # synthetic monotonically_increasing_id — that is recomputed per
+    # execution branch with task-order-dependent values, so a self-join on
+    # it silently mismatches under load). The fallback resolves each
+    # distinct unmatched key once: the key's '|'-joined parts ARE the
+    # canonical token set, so tokens come back out of the key itself.
     with_key = bigfile.withColumn(
         "_combo_key", canonical_set_key(combo_tokens(F.col(therapy_col)))
-    ).withColumn("_row_id", F.monotonically_increasing_id())
-    exact = with_key.join(
-        keyed_map.withColumnRenamed("ncit_id", "_exact_ncit"), "_combo_key", "left"
     )
+    exact_map = keyed_map.withColumnRenamed("ncit_id", "_exact_ncit")
 
-    token_hits = (
-        exact.filter(F.col("_exact_ncit").isNull())
-        .select("_row_id", F.explode(combo_tokens(F.col(therapy_col))).alias("_tok"))
+    fallback_by_key = (
+        with_key.select("_combo_key")
+        .distinct()
+        .join(exact_map, "_combo_key", "left_anti")
+        .select("_combo_key", F.explode(F.split("_combo_key", r"\|")).alias("_tok"))
         .join(token_map, "_tok")
-        .groupBy("_row_id")
+        .groupBy("_combo_key")
         .agg(F.array_join(F.array_sort(F.collect_set("ncit_id")), ",").alias("_tok_ncit"))
     )
     return (
-        exact.join(token_hits, "_row_id", "left")
+        with_key.join(exact_map, "_combo_key", "left")
+        .join(F.broadcast(fallback_by_key), "_combo_key", "left")
         .withColumn("ncit_ids", F.coalesce("_exact_ncit", "_tok_ncit"))
-        .drop("_combo_key", "_row_id", "_exact_ncit", "_tok_ncit")
+        .drop("_combo_key", "_exact_ncit", "_tok_ncit")
     )
