@@ -5,27 +5,41 @@ so the candidate-generation step is an equi-join (shuffle on a small key),
 never an O(n²) cross join:
 
 - exact            — hash-groupBy on md5(text); one shuffle.
-- minhash LSH      — shingle → per-seed min-hash → band signature →
-                     bucket equi-join; only same-band pairs are compared.
-- simhash          — 16-bit sign-sum fingerprint from token hashes; candidate
-                     pairs share the fingerprint (or a rotated band of it).
-- n-gram Jaccard   — inverted index on shingles (explode → join on shingle),
-                     pair score = |∩| / (|A|+|B|-|∩|); prefix-filtered.
-- embedding cosine — LSH via random-hyperplane sign bits OR brute-force for
-                     oracle-checkable exactness at small scale.
+- minhash LSH      — shingle → single-pass per-seed min-hash fold → band
+                     signature → bucket equi-join; only same-band pairs meet.
+- simhash          — 64-bit sign-sum fingerprint from token hashes, split
+                     into 4×16-bit bands; candidates share ≥1 band (banded
+                     Hamming join — Hamming ≤ 3 is guaranteed caught), then
+                     exact Hamming recheck. 16-bit variant kept as the
+                     fingerprint expression (dedup_simhash_fingerprint entry).
+- n-gram Jaccard   — inverted index on shingles (explode → join on shingle)
+                     with a document-frequency cutoff (hot boilerplate
+                     shingles never enter the posting-list join);
+                     pair score = |∩| / (|A|+|B|-|∩|) over surviving shingles.
+- embedding cosine — banded random-hyperplane LSH (md5-derived plane signs,
+                     reproducible in any engine) + exact cosine recheck.
+                     Brute-force self-join kept as the small-scale
+                     cross-check oracle (n_planes=0 path).
 
 Determinism: every hash is md5-of-string (identical in DuckDB) so the
-DuckDB oracles in __spark_entry__ reproduce results bit-for-bit; xxhash64 is
-deliberately avoided in anything oracle-checked.
+DuckDB oracles in __spark_entry__ reproduce results bit-for-bit; the
+embedding hyperplane signs are md5-derived on the DRIVER (hashlib) and
+embedded as literals in both the Spark plan and the generated oracle SQL.
+
+Scale notes: every candidate self-join materializes its small key table
+(``localCheckpoint``) first, so the signature subtree is computed exactly
+once — not re-evaluated on both join sides (the round-1 10× recompute trap).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot
 
 
 # --- exact -----------------------------------------------------------------
@@ -44,16 +58,23 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # --- minhash LSH -----------------------------------------------------------
 
 def minhash_signature(doc_shingles: Column, n_hashes: int) -> Column:
-    """Array of per-seed min hashes. Hash_i(s) = md5(i || s) — string min is
-    deterministic and engine-portable."""
-    def hasher(i: int):
-        def h(s):
-            return F.md5(F.concat(F.lit(f"seed{i}:"), s))
+    """Array of per-seed min hashes, computed in ONE pass over the shingle
+    array: each shingle is hashed once per seed into an n_hashes-wide row,
+    then an element-wise-min fold collapses them. Hash_i(s) = md5('seed{i}:'
+    || s) — string min is deterministic and engine-portable.
 
-        return h
-
-    return F.array(
-        *[F.array_min(F.transform(doc_shingles, hasher(i))) for i in range(n_hashes)]
+    (Round-1 version built n_hashes separate ``array_min(transform(...))``
+    expressions, duplicating the shingle subtree n_hashes times — ~8× wasted
+    compute at bench scale.)
+    """
+    hashed = F.transform(
+        doc_shingles,
+        lambda s: F.array(*[F.md5(F.concat(F.lit(f"seed{i}:"), s)) for i in range(n_hashes)]),
+    )
+    # 'zz…' sorts after every md5 hex string, so it is the fold identity.
+    init = F.array_repeat(F.lit("zz"), n_hashes)
+    return F.aggregate(
+        hashed, init, lambda acc, row: F.zip_with(acc, row, lambda a, b: F.least(a, b))
     )
 
 
@@ -85,11 +106,14 @@ def dedup_minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "do
                       n_hashes: int = 8, band_size: int = 2, shingle_n: int = 3) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
-    Scale shape: explode to (band_idx, band_key) → self-equi-join on the
-    band key → distinct pairs. The join key space grows with corpus size, so
-    bucket sizes stay small; hot bands (boilerplate docs) are AQE-skew-split.
+    Scale shape: explode to (band_idx, band_key) → MATERIALIZE the small
+    band table (localCheckpoint: signature computed once, not once per join
+    side) → self-equi-join on the band key → distinct pairs. The join key
+    space grows with corpus size, so bucket sizes stay small; hot bands
+    (boilerplate docs) are AQE-skew-split.
     """
     bands = minhash_bands(docs, text_col, id_col, n_hashes, band_size, shingle_n)
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -154,14 +178,119 @@ def simhash16_sql(text_expr: str) -> str:
     return "(" + " + ".join(bit_terms) + ")"
 
 
-def dedup_simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup candidate pairs: identical simhash16 (id_a < id_b)."""
-    d = docs.select(F.col(id_col), simhash16(F.col(text_col)).alias("sh"))
-    a, b = d.alias("a"), d.alias("b")
-    return (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16
+
+
+def simhash64_fingerprints(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(id, b0..b3) — 64-bit simhash as 4×16-bit band values.
+
+    Bit j (0..63) = sign of Σ_tokens ±1, where the per-token contribution is
+    bit (j mod 4) of md5-hex nibble (j div 4) — the simhash16 formula
+    extended to nibbles 0..15.
+
+    Two-projection shape, deliberately: the first select materializes the
+    per-token md5 array ONCE; the second runs the 64 per-bit folds over the
+    stored hash strings. Folding everything into one projection re-inlines
+    the md5 subtree into all 64 folds (64 md5s per token — measured 4×
+    slower at sf0.1); a 64-wide array-accumulator fold is worse still
+    (per-token array allocation, measured 6× slower).
+
+    Scale: 2^64 fingerprint space never saturates (vs 65,536 buckets for the
+    16-bit variant, which at 100 TB puts millions of docs per bucket and the
+    pair join goes quadratic — the round-1 weakness this replaces).
+    """
+    hashed = docs.select(
+        F.col(id_col), F.transform(tokens(text_col), F.md5).alias("_h")
+    )
+
+    def counter(j: int) -> Column:
+        nib, bit = j // 4, j % 4
+        return F.aggregate(
+            F.col("_h"),
+            F.lit(0),
+            lambda acc, m: acc + F.when(
+                F.shiftright(_nibble_val(F.substring(m, nib + 1, 1)), bit)
+                .bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    band_cols = []
+    for b in range(SIMHASH_BANDS):
+        band = None
+        for k in range(SIMHASH_BAND_BITS):
+            term = F.when(counter(b * SIMHASH_BAND_BITS + k) > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            band = term if band is None else band + term
+        band_cols.append(band.alias(f"b{b}"))
+    return hashed.select(id_col, *band_cols)
+
+
+def simhash64_band_sql(toks_expr: str, band: int) -> str:
+    """DuckDB SQL for band ``band`` of the 64-bit simhash — the identical
+    formula over a pre-computed token-array column/expression."""
+    terms = []
+    for k in range(SIMHASH_BAND_BITS):
+        j = band * SIMHASH_BAND_BITS + k
+        nib, bit = j // 4, j % 4
+        contrib = (
+            f"list_sum(list_transform({toks_expr}, t -> CASE WHEN "
+            f"((strpos('0123456789abcdef', substr(md5(t), {nib + 1}, 1)) - 1) >> {bit}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {contrib} > 0 THEN {1 << k} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def dedup_simhash64(docs: DataFrame, max_hamming: int = 6,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by 64-bit simhash banded Hamming join.
+
+    Candidates share ≥1 of 4 16-bit bands (guaranteed complete for Hamming
+    ≤ 3 by pigeonhole; high-recall beyond), then an exact Hamming recheck
+    over the full fingerprint keeps pairs with distance ≤ max_hamming.
+    Output: (id_a, id_b, hamming).
+
+    Scale shape: fingerprint table materialized once (localCheckpoint),
+    band equi-join on (band_idx, band_val) — the per-bucket population is
+    corpus_size / 2^16 per band on random text, and near-dup clusters are
+    small; no cross join anywhere.
+    """
+    fp = simhash64_fingerprints(docs, text_col, id_col).localCheckpoint(eager=True)
+    exploded = fp.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_idx"), F.col(f"b{i}").alias("band_val"))
+                for i in range(SIMHASH_BANDS)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_val")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("id_a"), *[F.col(f"b{i}").alias(f"a{i}") for i in range(SIMHASH_BANDS)])
+    fb = fp.select(F.col(id_col).alias("id_b"), *[F.col(f"b{i}").alias(f"c{i}") for i in range(SIMHASH_BANDS)])
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+        for i in range(SIMHASH_BANDS)
+    )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -169,14 +298,33 @@ def dedup_simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.8,
                         text_col: str = "text", id_col: str = "doc_id",
-                        shingle_n: int = 3) -> DataFrame:
+                        shingle_n: int = 3, max_df: int | None = None) -> DataFrame:
     """Pairs with shingle-set Jaccard ≥ threshold, via inverted index:
-    explode distinct shingles → self-join on shingle → count intersections →
-    Jaccard from set sizes. Shuffle key = shingle (high cardinality → fine
-    partitions); no cross join anywhere."""
+    explode distinct shingles → DF-filter → self-join on shingle → count
+    intersections → Jaccard from (filtered) set sizes. Shuffle key = shingle
+    (high cardinality → fine partitions); no cross join anywhere.
+
+    Hot-shingle defense (the 100 TB scale-killer): shingles appearing in
+    more than ``max_df`` documents are dropped BEFORE the posting-list
+    self-join — a boilerplate trigram shared by 1M docs would otherwise
+    produce a 10¹²-row bucket. The hot set is anti-joined (it is tiny by
+    construction: ≤ total_postings / max_df entries, broadcastable), and
+    sizes/Jaccard are computed over the surviving shingle space — i.e. hot
+    shingles are treated like stopwords, deterministically on both the Spark
+    and oracle sides.
+    """
     sh = docs.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s")
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -197,43 +345,143 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.8,
 
 # --- embedding cosine ---------------------------------------------------------
 
-def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.95,
-                           vec_col: str = "embedding", id_col: str = "vec_id",
-                           n_planes: int = 0) -> DataFrame:
-    """Near-dup pairs by cosine ≥ threshold.
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix derived from md5 on the DRIVER:
+    sign(i, j) = +1 iff the first hex nibble of md5('plane{i}:{j}') is even.
+    Computed once with hashlib and embedded as LITERALS in both the Spark
+    plan and the generated DuckDB oracle SQL — bit-identical bucketing in
+    any engine with no runtime hashing (round-1 used runtime xxhash64, which
+    no oracle could reproduce)."""
+    planes = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            nib = int(hashlib.md5(f"plane{i}:{j}".encode()).hexdigest()[0], 16)
+            row.append(1.0 if nib % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
 
-    n_planes == 0 → brute-force self-join (oracle-exact; small scale only).
-    n_planes  > 0 → random-hyperplane LSH prefilter: docs sharing the sign
-    pattern on deterministic pseudo-hyperplanes join first — the 100 TB path
-    (bucket join instead of cross join), then exact cosine re-check.
+
+def embedding_lsh_pairs(embs: DataFrame, threshold: float = 0.95,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        n_bands: int = 4, band_planes: int = 4,
+                        dim: int = 64) -> DataFrame:
+    """Banded random-hyperplane LSH + exact cosine recheck — the 100 TB path.
+
+    Candidates share ALL ``band_planes`` sign bits in ≥1 of ``n_bands``
+    bands (equi-join on (band_idx, band_key) — never a cross join), then an
+    exact cosine recheck keeps pairs ≥ threshold. Recall for a pair at angle
+    θ is 1-(1-(1-θ/π)^band_planes)^n_bands — ~0.99 at cos 0.95 with 4×4.
+    Output: (id_a, id_b, cos).
     """
-    d = embs.select(F.col(id_col), as_double(vec_col).alias("v"))
-    if n_planes > 0:
-        # deterministic pseudo-random hyperplanes from hash of (plane, dim):
-        # sign bit = whether sum_j v[j]*h(i,j) > 0, h in {-1,+1}
-        def plane_bit(i: int) -> Column:
-            def signed_term(x, j):
-                return x * F.when(
-                    F.pmod(F.xxhash64(F.lit(i), j), F.lit(2)) == 0, F.lit(1.0)
-                ).otherwise(F.lit(-1.0))
+    planes = hyperplane_signs(n_bands * band_planes, dim)
+    d = embs.select(F.col(id_col), as_double(vec_col).alias("v")).localCheckpoint(eager=True)
 
-            signed = F.aggregate(
-                F.zip_with(F.col("v"), F.sequence(F.lit(0), F.size("v") - 1), signed_term),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            return F.when(signed > 0, F.lit("1")).otherwise(F.lit("0"))
+    def bit(p: int) -> Column:
+        plane = F.array(*[F.lit(x) for x in planes[p]])
+        return F.when(dot(F.col("v"), plane) > 0, F.lit("1")).otherwise(F.lit("0"))
 
-        d = d.withColumn("bucket", F.concat(*[plane_bit(i) for i in range(n_planes)]))
-        a, b = d.alias("a"), d.alias("b")
-        pairs = a.join(
+    band_keys = [
+        F.concat(*[bit(b * band_planes + k) for k in range(band_planes)])
+        for b in range(n_bands)
+    ]
+    bands = d.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), band_keys[b].alias("band_key"))
+                for b in range(n_bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+    bands = bands.localCheckpoint(eager=True)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-    else:
-        a, b = d.alias("a"), d.alias("b")
-        pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = d.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = d.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 3))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_lsh_sql(threshold: float, n_bands: int = 4, band_planes: int = 4,
+                      dim: int = 64, table: str = "embeddings",
+                      vec_col: str = "embedding", id_col: str = "vec_id") -> str:
+    """DuckDB oracle reproducing embedding_lsh_pairs bit-for-bit: the SAME
+    driver-side md5-derived plane literals, band construction, candidate
+    join and cosine recheck."""
+    planes = hyperplane_signs(n_bands * band_planes, dim)
+
+    def lit(p: int) -> str:
+        return "[" + ", ".join(str(x) for x in planes[p]) + "]"
+
+    def bit(p: int) -> str:
+        return f"(CASE WHEN list_dot_product(v, {lit(p)}) > 0 THEN '1' ELSE '0' END)"
+
+    band_cols = ",\n             ".join(
+        " || ".join(bit(b * band_planes + k) for k in range(band_planes)) + f" AS bk{b}"
+        for b in range(n_bands)
+    )
+    band_union = "\n      UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band_idx, bk{b} AS band_key FROM bits"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}),
+    bits AS (
+      SELECT {id_col}, v,
+             {band_cols}
+      FROM v
+    ),
+    bands AS (
+      {band_union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.{id_col} < b.{id_col}
+    )
+    SELECT id_a, id_b, cos FROM (
+      SELECT id_a, id_b,
+             ROUND(list_dot_product(va.v, vb.v) /
+                   (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 3) AS cos
+      FROM cand JOIN v va ON va.{id_col} = id_a JOIN v vb ON vb.{id_col} = id_b
+    ) WHERE cos >= {threshold}
+    """
+
+
+def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.95,
+                           vec_col: str = "embedding", id_col: str = "vec_id",
+                           n_planes: int = 16) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold.
+
+    n_planes  > 0 → banded hyperplane LSH (embedding_lsh_pairs) — the
+    registered/benched scale path; n_planes is split into 4 bands.
+    n_planes == 0 → brute-force O(n²) self-join — kept ONLY as the
+    small-scale cross-check (tests compare LSH ⊆ brute-force at sf0.001).
+    """
+    if n_planes > 0:
+        n_bands = 4 if n_planes % 4 == 0 else 1
+        return embedding_lsh_pairs(
+            embs, threshold, vec_col, id_col,
+            n_bands=n_bands, band_planes=n_planes // n_bands,
+        )
+    d = embs.select(F.col(id_col), as_double(vec_col).alias("v"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     return (
         pairs.select(
             F.col(f"a.{id_col}").alias("id_a"),

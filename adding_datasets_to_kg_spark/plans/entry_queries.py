@@ -36,8 +36,11 @@ from ..operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
+    dedup_simhash64,
+    embedding_lsh_sql,
     simhash16,
     simhash16_sql,
+    simhash64_band_sql,
 )
 from ..operators.merge import merge_nodes
 from ..operators.multimodal import attach_media, extract_features
@@ -999,9 +1002,11 @@ def q_dedup_simhash(spark, sf_dir):
 @query(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT doc_id, unnest(list_distinct({_sql_shingles('text')})) AS s FROM documents
     ),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 5),
+    sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
@@ -1018,27 +1023,53 @@ def q_dedup_simhash(spark, sf_dir):
     """,
 )
 def q_dedup_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs via inverted shingle index."""
-    return dedup_ngram_jaccard(_t(spark, sf_dir, "documents"), threshold=0.12)
+    """n-gram Jaccard near-dup pairs via inverted shingle index with the
+    document-frequency hot-shingle cutoff (df > 5 → dropped, mirrored in the
+    oracle's ``hot`` CTE)."""
+    return dedup_ngram_jaccard(_t(spark, sf_dir, "documents"), threshold=0.12, max_df=5)
 
+
+@query("dedup_embedding_cosine", embedding_lsh_sql(threshold=0.38))
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH (4 bands ×
+    4 md5-derived planes) + exact cosine recheck — the scale path is the
+    registered plan; the DuckDB oracle rebuilds the identical buckets from
+    the same driver-side plane literals. Brute force survives only as the
+    sf0.001 cross-check in tests/test_dedup.py."""
+    return dedup_embedding_cosine(_t(spark, sf_dir, "embeddings"), threshold=0.38, n_planes=16)
+
+
+_SIMHASH64_TOKS = _sql_toks("text")
 
 @query(
-    "dedup_embedding_cosine",
-    """
-    SELECT * FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             ROUND(list_dot_product(a.v, b.v) /
-                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3) AS cos
-      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
-      JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
-        ON a.vec_id < b.vec_id
-    ) WHERE cos >= 0.38
+    "dedup_simhash64",
+    f"""
+    WITH t AS (SELECT doc_id, {_SIMHASH64_TOKS} AS toks FROM documents),
+    fp AS (
+      SELECT doc_id,
+             {', '.join(f"{simhash64_band_sql('toks', b)} AS b{b}" for b in range(4))}
+      FROM t
+    ),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_val FROM fp" for b in range(4))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             CAST({' + '.join(f"bit_count(xor(fa.b{b}, fb.b{b}))" for b in range(4))} AS INTEGER) AS hamming
+      FROM cand JOIN fp fa ON fa.doc_id = id_a JOIN fp fb ON fb.doc_id = id_b
+    ) WHERE hamming <= 6
     """,
 )
-def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (brute force — the oracle-exact
-    baseline; LSH variant exercised in tests/bench)."""
-    return dedup_embedding_cosine(_t(spark, sf_dir, "embeddings"), threshold=0.38)
+def q_dedup_simhash64(spark, sf_dir):
+    """64-bit simhash banded Hamming join (4×16-bit bands, exact Hamming
+    recheck ≤ 6) — replaces the saturating 16-bit pair join; the oracle
+    regenerates the identical fingerprint formula as SQL."""
+    return dedup_simhash64(_t(spark, sf_dir, "documents"), max_hamming=6)
 
 
 # ---------------------------------------------------------------------------
