@@ -1,0 +1,138 @@
+"""Dedup-family invariants beyond the oracle parity suite:
+
+- embedding LSH ⊆ brute force (candidate pruning never invents pairs) and
+  recall accounting at the registered threshold (sf0.001);
+- hot-shingle document-frequency cutoff actually caps posting lists under
+  boilerplate skew (the 100 TB defense);
+- 64-bit simhash banded join: complete for Hamming ≤ 3 (pigeonhole over
+  4×16-bit bands) and sound vs a driver-side brute-force recheck;
+- single-pass minhash fold == per-seed array_min definition.
+"""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from adding_datasets_to_kg_spark.functions.text import shingles
+from adding_datasets_to_kg_spark.operators.dedup import (
+    dedup_embedding_cosine,
+    dedup_ngram_jaccard,
+    dedup_simhash64,
+    minhash_signature,
+    simhash64_fingerprints,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_embedding_lsh_subset_of_bruteforce_with_recall(spark):
+    embs = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine(embs, threshold=0.38, n_planes=0).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine(embs, threshold=0.38, n_planes=16).collect()
+    }
+    assert lsh <= brute, "LSH recheck must never emit a pair brute force rejects"
+    assert brute, "fixture must contain near-dup pairs for the recall check"
+    recall = len(lsh) / len(brute)
+    # 4 bands × 4 planes at cos≥0.38 — moderate recall by design; the point
+    # of the gate is catching bucketing bugs (recall ≈ 0), not tuning.
+    assert recall >= 0.25, f"recall collapsed: {recall:.3f} ({len(lsh)}/{len(brute)})"
+
+
+def test_embedding_lsh_recalls_planted_near_duplicates(spark):
+    """True near-dups (cos ≈ 1) collide in every band with probability
+    ~(1-θ/π)^4 ≈ 1 — planting 10 such pairs, essentially all must surface.
+    This is the property the LSH path exists for; the 0.38-threshold recall
+    test above covers the far-pair regime."""
+    embs = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    base = {r.vec_id: list(r.embedding) for r in embs.limit(10).collect()}
+    planted = []
+    for vid, vec in base.items():
+        twin = list(vec)
+        twin[0] += 0.001  # cos vs original ≈ 0.999999
+        planted.append((10_000 + vid, twin))
+    corpus = embs.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    )
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine(corpus, threshold=0.95, n_planes=16).collect()
+    }
+    expected = {(vid, 10_000 + vid) for vid in base}
+    assert len(lsh & expected) >= 9, f"planted near-dups missed: {expected - lsh}"
+
+
+def _boilerplate_docs(spark, n=20):
+    """Docs sharing one boilerplate trigram; unique tails otherwise."""
+    rows = [
+        (i, f"shared boiler plate unique{i}a unique{i}b unique{i}c unique{i}d")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_hot_shingle_cutoff_caps_posting_lists(spark):
+    docs = _boilerplate_docs(spark, n=20)
+    # Without the cutoff every doc pair shares the boilerplate shingles:
+    # C(20,2)=190 candidate pairs reach the Jaccard scorer.
+    uncapped = dedup_ngram_jaccard(docs, threshold=0.0001, max_df=None).count()
+    assert uncapped == 190
+    # df('shared boiler plate') = 20 > 5 → dropped before the self-join; the
+    # unique tails share nothing, so NO pair survives candidate generation.
+    capped = dedup_ngram_jaccard(docs, threshold=0.0001, max_df=5)
+    assert capped.count() == 0
+    # Shingles below the cutoff are unaffected: two genuinely-near-dup docs
+    # still pair up through their (rare) shared shingles.
+    rows = [(100, "alpha beta gamma delta epsilon zeta"),
+            (101, "alpha beta gamma delta epsilon eta")]
+    near = docs.unionByName(spark.createDataFrame(rows, "doc_id long, text string"))
+    out = dedup_ngram_jaccard(near, threshold=0.3, max_df=5).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(100, 101)}
+
+
+def test_simhash64_banded_join_complete_and_sound(spark):
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(300)
+    fps = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in simhash64_fingerprints(docs).collect()
+    }
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup_simhash64(docs, max_hamming=6).collect()
+    }
+
+    def hamming(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    for ia, ib in itertools.combinations(sorted(fps), 2):
+        h = hamming(fps[ia], fps[ib])
+        shares_band = any(fps[ia][k] == fps[ib][k] for k in range(4))
+        if h <= 3:
+            # pigeonhole: ≤3 differing bits cannot touch all 4 bands
+            assert (ia, ib) in out and out[(ia, ib)] == h
+        if (ia, ib) in out:
+            assert h <= 6 and shares_band
+            assert out[(ia, ib)] == h
+
+
+def test_minhash_single_pass_fold_matches_per_seed_min(spark):
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(50)
+    sh = shingles("text", 3)
+    fold = docs.select("doc_id", minhash_signature(sh, 4).alias("sig"))
+    def hasher(i):
+        # NB: must be a 1-arg lambda — a 2-arg lambda would receive the
+        # element index as its second argument from F.transform.
+        return lambda s: F.md5(F.concat(F.lit(f"seed{i}:"), s))
+
+    reference = docs.select(
+        "doc_id",
+        F.array(*[F.array_min(F.transform(sh, hasher(i))) for i in range(4)]).alias("sig"),
+    )
+    a = {r.doc_id: r.sig for r in fold.collect()}
+    b = {r.doc_id: r.sig for r in reference.collect()}
+    assert a == b
