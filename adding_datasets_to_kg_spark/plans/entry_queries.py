@@ -45,7 +45,7 @@ from ..operators.dedup import (
 from ..operators.merge import merge_nodes
 from ..operators.multimodal import attach_media, extract_features
 from ..operators.similarity import topk_bruteforce, topk_ivf
-from ..sources.kgx import conform_nodes, nodes_to_typed_csv_df
+from ..sources.kgx import conform_nodes, infer_property_types, nodes_to_typed_csv_df
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -826,22 +826,32 @@ def g_edge_remap(spark, sf_dir):
     SELECT 'C' || CAST(c_custkey AS VARCHAR) AS "id:ID",
            c_name AS "name:string",
            'biolink:Customer' AS "category:LABEL",
-           CAST(NULL AS VARCHAR) AS "properties:string"
+           ROUND(c_acctbal, 2) AS "acctbal:float",
+           c_name || ';' || c_mktsegment AS "aliases:string[]",
+           c_mktsegment AS "segment:string"
     FROM customer
     """,
 )
 def g_typed_csv_export(spark, sf_dir):
-    """S7/S8 (kgx_converter.py:9-14; convert_for_neptune_bulk.py:46-47):
-    typed-header projection, arrays ';'-joined."""
+    """S7/S8 (kgx_converter.py:9-14; convert_for_neptune_bulk.py:46-47)
+    with the ORION 2-pass property-type inference: pass 1 discovers the
+    dynamic property keys and types (acctbal → float, aliases →
+    string[], segment → string, per fix_golden_kg_v2_format.py:29-85 header
+    conventions); pass 2 emits one typed column per key."""
     c = _t(spark, sf_dir, "customer")
     nodes = conform_nodes(
         c.select(
             F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("id"),
             F.col("c_name").alias("name"),
             F.array(F.lit("biolink:Customer")).alias("category"),
+            F.create_map(
+                F.lit("acctbal"), F.round("c_acctbal", 2).cast("string"),
+                F.lit("aliases"), F.concat_ws(";", "c_name", "c_mktsegment"),
+                F.lit("segment"), F.col("c_mktsegment"),
+            ).alias("properties"),
         )
     )
-    return nodes_to_typed_csv_df(nodes)
+    return nodes_to_typed_csv_df(nodes, property_types=infer_property_types(nodes))
 
 
 @query(
@@ -1231,16 +1241,28 @@ def q_text_fingerprint(spark, sf_dir):
 # Multimodal plumbing (stubbed decode; rows-only check)
 # ---------------------------------------------------------------------------
 
-@query("mm_media_features")  # mapInPandas + binary payloads; no SQL oracle
+@query(
+    "mm_media_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           sha256(text) AS sha,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 30 + 1 END AS INTEGER) AS frames_sampled
+    FROM documents
+    """,
+)
 def q_mm_features(spark, sf_dir):
-    """Binary media columns + Arrow-batched feature extraction (stub decode)."""
+    """Binary media columns + Arrow-batched feature extraction (stub decode).
+
+    Everything except the stubbed ``feature`` vector is deterministic from
+    the payload bytes, so the mapInPandas outputs ARE hash-checked: DuckDB
+    recomputes sha256/byte-length/kind/frame-sampling over the same utf-8
+    payloads (round-1 left this rows-only — an avoidable correctness hole).
+    """
     media = attach_media(_t(spark, sf_dir, "documents"))
     feats = extract_features(media)
-    return feats.select(
-        "media_id", "kind", "n_bytes", "sha",
-        F.round(F.element_at("feature", 4).cast("double"), 1).alias("f3"),
-        "frames_sampled",
-    )
+    return feats.select("media_id", "kind", "n_bytes", "sha", "frames_sampled")
 
 
 # ---------------------------------------------------------------------------

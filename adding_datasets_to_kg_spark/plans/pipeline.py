@@ -67,12 +67,20 @@ def load_lexicons(spark: SparkSession, lexicon_dir: str) -> Lexicons:
     without NodeNorm)."""
 
     def read(name: str, required: bool = True) -> DataFrame | None:
-        path = os.path.join(lexicon_dir, f"{name}.parquet")
-        if not os.path.exists(path):
+        # Resolve through spark.read, not os.path: the lexicon dir may live
+        # on HDFS/S3 in a spark-submit cluster run (jobs/run_kg_pipeline.py),
+        # where driver-local existence probes always fail.
+        from pyspark.errors import AnalysisException
+
+        path = f"{lexicon_dir.rstrip('/')}/{name}.parquet"
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force resolution so missing paths surface here
+            return df
+        except AnalysisException as e:
             if required:
-                raise FileNotFoundError(f"required lexicon table missing: {path}")
+                raise FileNotFoundError(f"required lexicon table missing: {path}") from e
             return None
-        return spark.read.parquet(path)
 
     return Lexicons(
         gene=read("gene_lexicon"),
@@ -205,11 +213,42 @@ def canonicalize_graph(
     return nodes, edges, norm_map, failures
 
 
+def write_graph_artifacts(out: dict, lex: Lexicons, output_dir: str,
+                          graph_id: str = "graph") -> None:
+    """Persist the inspectable normalization/metadata artifacts the reference
+    pipeline leaves on disk (reference README.md:68-75): per-run
+    ``normalization_map.json`` + ``normalization_failures.txt``
+    (normalize.py:16-18), ``predicate_map.jsonl`` (normalize.py:28,35) and
+    ``{graph_id}_metadata.json`` (merge.py:23-25, metadata.py:5-10).
+
+    Spark-idiomatic shapes: the map/failures/predicate tables are
+    distributed writes (JSONL/text part files under a directory carrying the
+    reference's file name); the metadata dict is driver-sized and written as
+    one plain JSON file.
+    """
+    if out.get("norm_map") is not None:
+        out["norm_map"].write.mode("overwrite").json(
+            os.path.join(output_dir, "normalization_map.json")
+        )
+    if out.get("failures") is not None:
+        out["failures"].select(F.col("id").alias("value")).write.mode("overwrite").text(
+            os.path.join(output_dir, "normalization_failures.txt")
+        )
+    if lex.predicate_map is not None:
+        lex.predicate_map.write.mode("overwrite").json(
+            os.path.join(output_dir, "predicate_map.jsonl")
+        )
+    if out.get("metadata") is not None:
+        with open(os.path.join(output_dir, f"{graph_id}_metadata.json"), "w") as f:
+            json.dump(out["metadata"], f, indent=2, default=str)
+
+
 def run_pipeline(
     transcripts: DataFrame,
     lex: Lexicons,
     output_dir: str | None = None,
     compute_metadata: bool = True,
+    graph_id: str = "graph",
 ) -> dict:
     """One-shot (non-checkpointed) run. Returns dict with nodes/edges/
     metadata/norm artifacts — the Spark analog of midas.pipeline.run_pipeline.
@@ -242,11 +281,12 @@ def run_pipeline(
     nodes = merge_nodes(nodes)
     edges = dedup_edges(edges)
     out: dict = {"nodes": nodes, "edges": edges, "norm_map": norm_map, "failures": failures}
+    if compute_metadata:
+        out["metadata"] = graph_metadata(nodes, edges)
     if output_dir:
         nodes.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_nodes"))
         edges.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_edges"))
-    if compute_metadata:
-        out["metadata"] = graph_metadata(nodes, edges)
+        write_graph_artifacts(out, lex, output_dir, graph_id)
     return out
 
 
@@ -332,4 +372,12 @@ def run_pipeline_checkpointed(
     nodes = merge_nodes(nodes)
     nodes.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_nodes"))
     edges.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_edges"))
-    return {"nodes": nodes, "edges": edges, "norm_map": norm_map, "failures": failures}
+    out = {
+        "nodes": nodes,
+        "edges": edges,
+        "norm_map": norm_map,
+        "failures": failures,
+        "metadata": graph_metadata(nodes, edges),
+    }
+    write_graph_artifacts(out, lex, output_dir)
+    return out

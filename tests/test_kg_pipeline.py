@@ -206,3 +206,30 @@ def test_canonical_key_join_order_insensitive(spark):
     ).select(canonical_set_key(F.col("toks")).alias("k"))
     keys = [r["k"] for r in df.collect()]
     assert keys[0] == keys[1] == "a|b|c"
+
+
+def test_pipeline_persists_normalization_artifacts(tmp_path, corpus, lex, spark):
+    """The reference leaves inspectable normalization/metadata files on disk
+    (reference README.md:68-75, normalize.py:16-18, merge.py:23-25); both
+    pipeline variants must do the same under output_dir."""
+    import json
+    import os
+
+    out_dir = str(tmp_path / "oneshot")
+    res = run_pipeline(corpus, lex, output_dir=out_dir, graph_id="goldenKG")
+    for name in ["kg_nodes", "kg_edges", "normalization_map.json",
+                 "normalization_failures.txt", "predicate_map.jsonl"]:
+        assert os.path.exists(os.path.join(out_dir, name)), name
+    with open(os.path.join(out_dir, "goldenKG_metadata.json")) as f:
+        meta = json.load(f)
+    assert meta == res["metadata"]
+    # the persisted map round-trips and covers every mapped id
+    nm = spark.read.json(os.path.join(out_dir, "normalization_map.json"))
+    assert nm.count() == res["norm_map"].count()
+    assert {"id", "canonical_id", "equivalent_identifiers"} <= set(nm.columns)
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    run_pipeline_checkpointed(corpus, lex, ckpt_dir, n_buckets=2)
+    for name in ["normalization_map.json", "normalization_failures.txt",
+                 "predicate_map.jsonl", "graph_metadata.json"]:
+        assert os.path.exists(os.path.join(ckpt_dir, name)), name
