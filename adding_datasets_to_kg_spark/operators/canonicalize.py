@@ -5,18 +5,18 @@ Reference parity (G1-G3 in SURVEY.md §2.11):
 - clique collapse          ← Node Normalizer resolution driven by
   /root/reference/src/midas/normalize.py:29-37 — every raw CURIE maps to a
   preferred CURIE + equivalent_identifiers; we compute the same fixpoint from
-  an offline ``id_equivalences(id_a, id_b)`` table via iterative min-id
-  propagation (large-star/small-star style) — no GraphFrames dependency.
+  an offline ``id_equivalences(id_a, id_b)`` table via alternating
+  large-star/small-star contraction — no GraphFrames dependency.
 - predicate normalization  ← normalize.py:28,35 (predicate_map.jsonl) — a
   broadcast-join against a 2-column mapping table.
 - endpoint remap           ← original_subject/original_object columns in
   /root/reference/scripts/preprocessing/convert_for_neptune_bulk.py:76-77,98-99.
 
 Scale notes: the CC loop is the one genuinely iterative operator. Each round
-is one shuffle on the id key; ``localCheckpoint(eager=True)`` truncates
-lineage each round so plans stay O(1) deep. ID-equivalence cliques are tiny
-(size 1-5 in practice), so convergence is ≤ ⌈log2(max diameter)⌉ rounds; we
-bound it and assert convergence. Canonical member = lexicographic min —
+is two shuffles on the node key; ``localCheckpoint(eager=True)`` truncates
+lineage each round so plans stay O(1) deep. Star contraction converges in
+O(log d) rounds of the component diameter (property-tested on a 64-node
+chain); we bound it and assert convergence. Canonical member = lexicographic min —
 deterministic, order-independent (deviation from the reference's
 input-order-dependent first-wins, documented in SURVEY.md §7.4.4).
 """
@@ -44,6 +44,13 @@ def _driver_union_find(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
 
     for a, b in pairs:
         if a is None or b is None:
+            # half-null edge: the non-null endpoint still exists as a
+            # singleton (matches the distributed path, which self-loops both
+            # endpoints before the null filter)
+            if a is not None:
+                find(a)
+            elif b is not None:
+                find(b)
             continue
         ra, rb = find(a), find(b)
         if ra != rb:
@@ -66,7 +73,7 @@ def connected_components(
     max_iterations: int = 20,
     driver_threshold: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
-    """Min-id label propagation until fixpoint.
+    """Connected components: min-id canonicalization until fixpoint.
 
     Input: undirected equivalence edges (id_a, id_b). Output columns:
     ``id`` (member), ``canonical_id`` (lexicographic min of its component).
@@ -76,10 +83,10 @@ def connected_components(
     domain (ontology cross-references, not transcript-scale), so below
     ``driver_threshold`` edges we collect and run union-find on the driver —
     one job instead of ~4 iterations × 3 stages of distributed fixpoint.
-    Above the threshold the iterative min-label-propagation join loop runs
-    (each round one shuffle + localCheckpoint to truncate lineage). Both
-    paths produce identical output (verified by tests at the boundary).
-    Set driver_threshold=0 to force the distributed path.
+    Above the threshold the alternating large-star/small-star contraction
+    runs (:func:`star_contraction`). Both paths produce identical output
+    (verified by tests at the boundary). Set driver_threshold=0 to force
+    the distributed path.
     """
     spark = edges.sparkSession
     if driver_threshold > 0 and edges.limit(driver_threshold + 1).count() <= driver_threshold:
@@ -91,47 +98,92 @@ def connected_components(
         if not out:
             return spark.createDataFrame([], "id string, canonical_id string")
         return spark.createDataFrame(out, "id string, canonical_id string")
-    # Symmetrize + add self-loops so every id labels itself initially.
-    sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .unionByName(edges.select(F.col(id_a).alias("src"), F.col(id_a).alias("dst")))
-        .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_b).alias("dst")))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    labels, _ = star_contraction(edges, id_a, id_b, max_iterations)
+    return labels
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star step (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): every strictly-larger neighbor of u reconnects to
+    min(Γ(u) ∪ {u}). One shuffle on the node key."""
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    # labels: id -> current best (min) known component label
-    labels = sym.groupBy(F.col("src").alias("id")).agg(
-        F.least(F.min("dst"), F.first("src")).alias("label")
-    )
-    labels = labels.localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
 
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star step: direct every edge large→small, then u and all its
+    ≤-neighbors reconnect to the minimum."""
+    directed = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    mins = directed.groupBy("a").agg(F.min("b").alias("m"))
+    leaves = directed.join(mins, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
+    centers = mins.select(F.col("a"), F.col("m").alias("b"))
+    return (
+        leaves.unionByName(centers)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def star_contraction(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction — O(log d) rounds in
+    the component diameter d (vs O(d) for plain neighbor-min label
+    propagation; the convergence-rate property is tested on a long chain in
+    tests/test_union_find_property.py). Returns (labels, n_rounds).
+
+    Each round is two grouped aggregates + joins shuffling on the node key;
+    ``localCheckpoint`` truncates lineage so plans stay O(1) deep. At
+    fixpoint the edge set is a star forest (node → component minimum);
+    singletons (ids appearing only with null partners or in self-pairs) are
+    restored from the id universe afterwards.
+    """
+    # id universe: every non-null endpoint survives, even from half-null edges
+    ids = (
+        edges.select(F.col(id_a).alias("id"))
+        .unionByName(edges.select(F.col(id_b).alias("id")))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
     for _ in range(max_iterations):
-        # propagate: each node adopts the min label among itself + neighbors
-        neighbor_labels = (
-            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_labels, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.col("nbr_label")).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = new_labels.filter(F.col("changed")).limit(1).count()
-        labels = new_labels.select("id", "label")
-        if n_changed == 0:
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        same_count = new_e.count() == e.count()
+        unchanged = same_count and new_e.join(e, ["a", "b"], "left_anti").limit(1).count() == 0
+        e = new_e
+        if unchanged:
             break
     else:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} iterations"
+            f"star_contraction did not converge in {max_iterations} rounds"
         )
-    return labels.select(F.col("id"), F.col("label").alias("canonical_id"))
+    # star forest: every edge points node → component min
+    labels = e.select(F.col("a").alias("id"), F.col("b").alias("canonical_id"))
+    roots_and_singletons = ids.join(labels.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("canonical_id")
+    )
+    return labels.unionByName(roots_and_singletons), rounds
 
 
 def normalization_map(

@@ -41,11 +41,62 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _assign_cells(c: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment: corpus × broadcast centroids (narrow),
+    top-1 per id with deterministic tiebreak."""
+    scored = c.join(F.broadcast(centroids)).select(
+        id_col,
+        "cell_id",
+        cosine(F.col("v"), F.col("centroid")).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell_id").asc())
+    return scored.withColumn("r", F.row_number().over(w)).filter("r = 1").select(id_col, "cell_id")
+
+
+def refine_centroids(c: DataFrame, centroids: DataFrame, n_iters: int = 1,
+                     id_col: str = "vec_id") -> DataFrame:
+    """Lloyd iterations as a DataFrame program: assign → per-cell mean.
+
+    The mean is computed dimension-wise via posexplode → groupBy(cell, dim)
+    — rows scale as corpus × dim, keys are fine-grained, no driver-side
+    vectors anywhere (scale-safe; collect_list of member vectors per cell
+    would OOM a hot cell at 100 TB). Cells that lose all members keep their
+    previous centroid. Cosine is scale-invariant so means are not
+    re-normalized. Each iteration materializes (localCheckpoint) to keep
+    plans O(1) deep.
+    """
+    for _ in range(n_iters):
+        assign = _assign_cells(c, centroids, id_col)
+        dims = c.join(assign, id_col).select(
+            "cell_id", F.posexplode("v").alias("dim", "x")
+        )
+        means = dims.groupBy("cell_id", "dim").agg(F.avg("x").alias("m"))
+        new_centroids = (
+            means.groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                ).alias("new_centroid")
+            )
+        )
+        centroids = (
+            centroids.join(new_centroids, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce("new_centroid", "centroid").alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids
+
+
 def build_ivf_cells(corpus: DataFrame, n_cells: int = 16,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF index: cell centroids = the n_cells corpus vectors
-    with the lowest ids (seed points; cheap, deterministic, and good enough
-    for bucketing — a k-means refinement can swap in transparently).
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    refine_iters: int = 1) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF index: seed centroids = the n_cells corpus vectors
+    with the lowest ids, then ``refine_iters`` Lloyd iterations
+    (:func:`refine_centroids`) — deterministic k-means, no RNG, so the index
+    is reproducible run-to-run.
 
     Returns (assignments(id, cell_id), centroids(cell_id, centroid)).
     """
@@ -58,28 +109,24 @@ def build_ivf_cells(corpus: DataFrame, n_cells: int = 16,
         )
     )
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
-    scored = c.join(F.broadcast(centroids)).select(
-        id_col,
-        "cell_id",
-        cosine(F.col("v"), F.col("centroid")).alias("sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell_id").asc())
-    assignments = (
-        scored.withColumn("r", F.row_number().over(w)).filter("r = 1").select(id_col, "cell_id")
-    )
+    if refine_iters > 0:
+        centroids = refine_centroids(c, centroids, refine_iters, id_col)
+    assignments = _assign_cells(c, centroids, id_col)
     return assignments, centroids
 
 
 def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
              n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id", refine_iters: int = 1) -> DataFrame:
     """IVF-bucketed approximate top-k: probe the n_probe nearest cells only.
 
     Scale shape: corpus scored once against n_cells broadcast centroids
     (narrow), then the query↔corpus join is an equi-join on cell_id touching
-    ~n_probe/n_cells of the corpus per query.
+    ~n_probe/n_cells of the corpus per query. Centroids are k-means-refined
+    (``refine_iters`` Lloyd steps) — the recall@k ≥ 0.9 gate lives in
+    tests/test_similarity.py.
     """
-    assignments, centroids = build_ivf_cells(corpus, n_cells, id_col, vec_col)
+    assignments, centroids = build_ivf_cells(corpus, n_cells, id_col, vec_col, refine_iters)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
     c = c.join(assignments.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
 

@@ -233,3 +233,38 @@ def test_pipeline_persists_normalization_artifacts(tmp_path, corpus, lex, spark)
     for name in ["normalization_map.json", "normalization_failures.txt",
                  "predicate_map.jsonl", "graph_metadata.json"]:
         assert os.path.exists(os.path.join(ckpt_dir, name)), name
+
+
+def test_star_contraction_logarithmic_rounds_on_chain(spark):
+    """Alternating large/small-star must converge in O(log d) rounds: a
+    64-node path graph (diameter 63) would take ~63 rounds under naive
+    neighbor-min propagation; star contraction needs ≤ 12."""
+    import math
+
+    from adding_datasets_to_kg_spark.operators.canonicalize import star_contraction
+
+    n = 64
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)],
+        "id_a string, id_b string",
+    )
+    labels, rounds = star_contraction(chain)
+    got = {r.id: r.canonical_id for r in labels.collect()}
+    assert got == {f"n{i:03d}": "n000" for i in range(n)}
+    assert rounds <= 2 * int(math.log2(n)) or rounds <= 12, rounds
+
+
+def test_cc_half_null_edges_agree_across_paths(spark):
+    """(a, NULL) edges: the non-null endpoint must survive as a singleton in
+    BOTH the driver union-find and the distributed star path."""
+    from adding_datasets_to_kg_spark.operators.canonicalize import connected_components
+
+    edges = spark.createDataFrame(
+        [("x", None), (None, "y"), ("a", "b"), (None, None)],
+        "id_a string, id_b string",
+    )
+    want = {"x": "x", "y": "y", "a": "a", "b": "a"}
+    driver = {r.id: r.canonical_id for r in connected_components(edges).collect()}
+    dist = {r.id: r.canonical_id
+            for r in connected_components(edges, driver_threshold=0).collect()}
+    assert driver == want and dist == want

@@ -22,3 +22,29 @@ def test_ivf_recall_vs_bruteforce(spark):
     aps = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in approx.collect()}
     for key in e & a:
         assert es[key] == aps[key]
+
+
+def test_ivf_refined_recall_gate_sf01(spark):
+    """The explicit quality gate: k-means-refined IVF recovers >= 0.9 of the
+    exact top-5 at sf0.1 (2 Lloyd iterations, 8/16 cells probed)."""
+    embs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 30).withColumnRenamed("vec_id", "query_id")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in topk_bruteforce(embs, queries, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in topk_ivf(embs, queries, k=5, n_cells=16, n_probe=8,
+                                refine_iters=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@5 {recall:.3f}"
+
+
+def test_refined_centroids_deterministic(spark):
+    """Seed centroids + Lloyd steps contain no RNG: two builds agree."""
+    from adding_datasets_to_kg_spark.operators.similarity import build_ivf_cells
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _, c1 = build_ivf_cells(embs, n_cells=8, refine_iters=2)
+    _, c2 = build_ivf_cells(embs, n_cells=8, refine_iters=2)
+    r1 = {r.cell_id: r.centroid for r in c1.collect()}
+    r2 = {r.cell_id: r.centroid for r in c2.collect()}
+    assert r1 == r2
