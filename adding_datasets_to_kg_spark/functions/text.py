@@ -26,6 +26,10 @@ EN_STOPWORDS: tuple[str, ...] = (
 # Therapy-combination separators (map_therapy_id_revised.py:15-24).
 COMBO_SEP_REGEX = r"(?i)\s*(?:/|,|;|\+|&|\band\b|\bwith\b)\s*"
 
+# Therapy stopwords stripped anywhere in a token (map_therapy_id_revised.py:
+# 20-21,46) — 'Tamoxifen therapy' must canonicalize equal to 'Tamoxifen'.
+THERAPY_STOPWORDS_REGEX = r"\b(regimen|combination|combo|therapy|therapies)\b"
+
 
 def tokens(col: Column | str, pattern: str = r"\s+") -> Column:
     """Whitespace tokenization, empty strings dropped."""
@@ -34,11 +38,14 @@ def tokens(col: Column | str, pattern: str = r"\s+") -> Column:
 
 
 def canon_token(col: Column) -> Column:
-    """Lowercase, strip parentheticals and punctuation, squash whitespace
-    (map_therapy_id_revised.py:26,43-49)."""
+    """Lowercase, strip parentheticals, therapy stopwords and punctuation
+    (keeping ``+``/``-`` per the reference's charset), squash whitespace
+    (map_therapy_id_revised.py:26,43-49). Deviation kept from the reference:
+    punctuation becomes a space (token split point) rather than vanishing."""
     c = F.lower(col)
     c = F.regexp_replace(c, r"\([^)]*\)", "")
-    c = F.regexp_replace(c, r"[^a-z0-9\s-]", " ")
+    c = F.regexp_replace(c, THERAPY_STOPWORDS_REGEX, " ")
+    c = F.regexp_replace(c, r"[^a-z0-9+\s-]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
 

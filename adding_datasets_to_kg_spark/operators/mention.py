@@ -135,9 +135,19 @@ def detect_mentions(
     SCALAR_ITER form: the trie is compiled ONCE per task from the broadcast
     entry list, then reused across every Arrow batch in the partition —
     per-batch work is a pure pandas ``map``.
+
+    ``entries`` may be a pre-created Broadcast (pyspark.Broadcast) — callers
+    that invoke this repeatedly (streaming micro-batches, per-bucket
+    checkpointed runs) pass one hoisted broadcast instead of leaking a new
+    one per call; see Lexicons.broadcast_entries().
     """
-    spark = turns.sparkSession
-    bc = spark.sparkContext.broadcast(sorted(set(entries)))
+    from pyspark import Broadcast
+
+    if isinstance(entries, Broadcast):
+        bc = entries
+    else:
+        spark = turns.sparkSession
+        bc = spark.sparkContext.broadcast(sorted(set(entries)))
 
     @F.pandas_udf(ArrayType(MENTION_STRUCT))
     def scan(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:

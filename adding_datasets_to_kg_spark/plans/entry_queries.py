@@ -1218,9 +1218,10 @@ def q_text_token_stats(spark, sf_dir):
     r"""
     WITH canon AS (
       SELECT doc_id,
-             trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
                '\([^)]*\)', '', 'g'),
-               '[^a-z0-9\s-]', ' ', 'g'),
+               '\b(regimen|combination|combo|therapy|therapies)\b', ' ', 'g'),
+               '[^a-z0-9+\s-]', ' ', 'g'),
                '\s+', ' ', 'g')) AS ct
       FROM documents
     )

@@ -52,11 +52,21 @@ class Lexicons:
     id_equivalences: DataFrame | None = None
     predicate_map: DataFrame | None = None
     _entries: list = field(default=None, repr=False)
+    _bc: object = field(default=None, repr=False)
 
     def entries(self) -> list[tuple[str, str, str]]:
         if self._entries is None:
             self._entries = build_lexicon_entries(self.gene, self.disease, self.variant)
         return self._entries
+
+    def broadcast_entries(self):
+        """One broadcast of the sorted entry set, reused across every
+        mention-detection call on this Lexicons (micro-batches, buckets) —
+        repeated per-call broadcasts leak on long-running streams."""
+        if self._bc is None:
+            sc = self.gene.sparkSession.sparkContext
+            self._bc = sc.broadcast(sorted(set(self.entries())))
+        return self._bc
 
 
 def load_lexicons(spark: SparkSession, lexicon_dir: str) -> Lexicons:
@@ -120,7 +130,7 @@ def extract_linked_mentions(transcripts: DataFrame, lex: Lexicons) -> DataFrame:
     exchanges, repartition-after plans 1). With an Iceberg bucket(conv_id)
     layout + storage-partitioned reads this shuffle disappears too."""
     narrow = transcripts.select("conv_id", "turn_idx", "text")
-    with_mentions = detect_mentions(narrow, lex.entries())
+    with_mentions = detect_mentions(narrow, lex.broadcast_entries())
     mentions = explode_mentions(with_mentions, ["conv_id", "turn_idx"])
     return link_best_candidate(mentions.repartition("conv_id"))
 

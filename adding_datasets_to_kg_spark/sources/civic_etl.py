@@ -166,17 +166,26 @@ def enrich_therapy_ids(
 
     ``therapy_map`` columns: (therapy, ncit_id) — the reference's
     therapy-name → NCIT CSV."""
+    # Combo map from MULTI-drug entries only, token map from SINGLE-agent
+    # entries only (map_therapy_id_revised.py:80-104: combo_map filters
+    # len(key) >= 2, token_map len(key) == 1) — a lone drug name must never
+    # resolve to a combo-regimen NCIT id. Dedup is a deterministic min
+    # aggregation (the reference's drop_duplicates keeps first-in-file-order,
+    # which is not reproducible under parallel scan; documented deviation).
+    mapped = therapy_map.select(
+        combo_tokens(F.col("therapy")).alias("_toks"), F.col("ncit_id")
+    )
     keyed_map = F.broadcast(
-        therapy_map.select(
-            canonical_set_key(combo_tokens(F.col("therapy"))).alias("_combo_key"),
-            F.col("ncit_id"),
-        ).dropDuplicates(["_combo_key"])
+        mapped.filter(F.size("_toks") >= 2)
+        .select(canonical_set_key(F.col("_toks")).alias("_combo_key"), "ncit_id")
+        .groupBy("_combo_key")
+        .agg(F.min("ncit_id").alias("ncit_id"))
     )
     token_map = F.broadcast(
-        therapy_map.select(
-            F.explode(combo_tokens(F.col("therapy"))).alias("_tok"),
-            F.col("ncit_id"),
-        ).dropDuplicates(["_tok"])
+        mapped.filter(F.size("_toks") == 1)
+        .select(F.element_at("_toks", 1).alias("_tok"), "ncit_id")
+        .groupBy("_tok")
+        .agg(F.min("ncit_id").alias("ncit_id"))
     )
 
     # All joins key on the DETERMINISTIC canonical combo key (never a

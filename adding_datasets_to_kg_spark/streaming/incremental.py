@@ -12,8 +12,14 @@ path the Spark-idiomatic way:
   test surface;
 - ``Trigger.AvailableNow`` drains everything currently available then stops —
   the incremental-catch-up pattern (run nightly, process only new files);
-- the streaming checkpointLocation gives exactly-once file tracking across
-  restarts, complementing the batch pipeline's bucket-level checkpoint table
+- the streaming checkpointLocation tracks consumed source files exactly-once
+  across restarts. foreachBatch sinks are at-least-once by themselves (a
+  crash between sink write and checkpoint commit replays the batch), so the
+  sink writes IDEMPOTENTLY: each micro-batch lands in its own
+  ``_batch_id={id}`` partition via dynamic partition overwrite — a replayed
+  batch overwrites its own partition instead of appending duplicates. The
+  periodic compaction's dedup (dedup_edges) remains a second line of
+  defense, complementing the batch pipeline's bucket-level checkpoint table
   (plans/pipeline.py).
 
 Scale notes: per micro-batch work is the already-optimized batch plan
@@ -56,6 +62,12 @@ def stream_triples(
     triples_path = os.path.join(output_dir, "triples_stream")
     ckpt_path = os.path.join(output_dir, "_stream_checkpoint")
 
+    from pyspark.sql import functions as F
+
+    # hoist the lexicon broadcast across micro-batches (a per-batch
+    # broadcast would leak on long-running streams)
+    lex.broadcast_entries()
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         linked = (
             extract_linked_mentions(batch_df, lex)
@@ -63,8 +75,15 @@ def stream_triples(
             .dropDuplicates()
             .localCheckpoint(eager=True)  # emit branches fan out concurrently
         )
-        edges = emit_triples(linked, lex)
-        edges.write.mode("append").parquet(triples_path)
+        edges = emit_triples(linked, lex).withColumn("_batch_id", F.lit(batch_id))
+        # idempotent under foreachBatch replay: dynamic overwrite touches
+        # only this batch's partition
+        (
+            edges.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(triples_path)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -77,4 +96,4 @@ def stream_triples(
 
 
 def read_streamed_triples(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(output_dir, "triples_stream"))
+    return spark.read.parquet(os.path.join(output_dir, "triples_stream")).drop("_batch_id")

@@ -102,3 +102,29 @@ def test_therapy_enrichment_exact_and_token_fallback(spark, raw):
     # no exact combo entry → per-token fallback, sorted comma join
     assert by_therapy["Cisplatin / Pemetrexed"] == "C376,C61614"
     assert by_therapy["Unknownium"] is None
+
+
+def test_therapy_stopwords_and_single_agent_map(spark, raw):
+    """map_therapy_id_revised.py:20-21,46,80-104 parity: therapy stopwords
+    are stripped anywhere, and the token map is built ONLY from single-agent
+    entries, so a lone drug name can never inherit a combo-regimen id."""
+    tmap = spark.createDataFrame(
+        [
+            ("Tamoxifen", "C855"),
+            ("Tamoxifen and Cisplatin", "C9999"),  # combo entry shares the token
+            ("Cisplatin", "C376"),
+        ],
+        "therapy string, ncit_id string",
+    )
+    bigfile = spark.createDataFrame(
+        [("Tamoxifen therapy",), ("Tamoxifen regimen",), ("Cisplatin with Tamoxifen",),
+         ("Tamoxifen",)],
+        "therapy string",
+    )
+    out = {r["therapy"]: r["ncit_ids"] for r in enrich_therapy_ids(bigfile, tmap).collect()}
+    # stopword stripped → matches the single-agent entry, not the combo
+    assert out["Tamoxifen therapy"] == "C855"
+    assert out["Tamoxifen regimen"] == "C855"
+    assert out["Tamoxifen"] == "C855"
+    # order-insensitive combo key still wins for real combos
+    assert out["Cisplatin with Tamoxifen"] == "C9999"
