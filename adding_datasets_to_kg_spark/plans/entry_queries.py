@@ -1118,11 +1118,64 @@ def q_sim_bruteforce(spark, sf_dir):
 
 @query("sim_topk_ivf")  # approximate; non-SQL-expressible concisely → rows-only check
 def q_sim_ivf(spark, sf_dir):
-    """IVF-bucketed ANN: probe the 4 nearest of 16 cells (scale path)."""
+    """IVF-bucketed ANN: probe the 4 nearest of 16 cells (scale path).
+    Rows-only here, but the underlying index math IS hash-checked — see
+    sim_ivf_cells."""
     embs = _t(spark, sf_dir, "embeddings")
     queries = embs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     df = topk_ivf(embs, queries, k=3, n_cells=16, n_probe=4)
     return df.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "cos")
+
+
+_IVF_COS = (
+    "list_dot_product(c.v, ct.centroid) / "
+    "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ct.centroid, ct.centroid)))"
+)
+
+@query(
+    "sim_ivf_cells",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, v AS centroid
+      FROM c ORDER BY vec_id LIMIT 16
+    ),
+    assign0 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY {_IVF_COS} DESC, ct.cell_id ASC) AS r
+        FROM c CROSS JOIN cent0 ct
+      ) WHERE r = 1
+    ),
+    dims AS (
+      SELECT a.cell_id, d.dim, avg(c.v[d.dim + 1]) AS m
+      FROM assign0 a JOIN c USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+      GROUP BY a.cell_id, d.dim
+    ),
+    cent1 AS (
+      SELECT c0.cell_id, COALESCE(list(d.m ORDER BY d.dim), c0.centroid) AS centroid
+      FROM cent0 c0 LEFT JOIN dims d USING (cell_id)
+      GROUP BY c0.cell_id, c0.centroid
+    )
+    SELECT vec_id, cell_id FROM (
+      SELECT c.vec_id, ct.cell_id,
+             row_number() OVER (PARTITION BY c.vec_id ORDER BY {_IVF_COS} DESC, ct.cell_id ASC) AS r
+      FROM c CROSS JOIN cent1 ct
+    ) WHERE r = 1
+    """,
+)
+def q_sim_ivf_cells(spark, sf_dir):
+    """The IVF index math, hash-checked end-to-end: deterministic seed
+    centroids (lowest-id vectors), ONE Lloyd iteration (assign → dimension-
+    wise means → reassign), final cell assignment per vector. The DuckDB
+    oracle unrolls the same iteration in SQL — covering the iterative
+    k-means DataFrame program that sim_topk_ivf builds on."""
+    from ..operators.similarity import build_ivf_cells
+
+    embs = _t(spark, sf_dir, "embeddings")
+    assignments, _ = build_ivf_cells(embs, n_cells=16, refine_iters=1)
+    return assignments.select("vec_id", F.col("cell_id").cast("bigint").alias("cell_id"))
 
 
 # ---------------------------------------------------------------------------
