@@ -163,6 +163,34 @@ def simhash16(text_col: Column) -> Column:
     return total
 
 
+def simhash16_fingerprints(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash int) — simhash16 values via the two-projection shape
+    (per-token md5 materialized once, then 16 per-bit folds over the stored
+    hashes; see simhash64_fingerprints for why this beats inlining the md5
+    subtree into every fold ~4×). Values are bit-identical to
+    ``simhash16(col)``."""
+    hashed = docs.select(
+        F.col(id_col), F.transform(tokens(text_col), F.md5).alias("_h")
+    )
+    def merger(nib: int, bit: int):
+        def merge(acc, m):
+            return acc + F.when(
+                F.shiftright(_nibble_val(F.substring(m, nib + 1, 1)), bit)
+                .bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+
+        return merge
+
+    total = None
+    for j in range(16):
+        contrib = F.aggregate(F.col("_h"), F.lit(0), merger(j // 4, j % 4))
+        term = F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        total = term if total is None else total + term
+    return hashed.select(id_col, total.cast("int").alias("simhash"))
+
+
 def simhash16_sql(text_expr: str) -> str:
     """DuckDB SQL generating the identical 16-bit simhash (oracle side)."""
     tok = f"list_filter(string_split(trim(regexp_replace({text_expr}, '\\s+', ' ', 'g')), ' '), t -> t <> '')"

@@ -38,7 +38,7 @@ from ..operators.dedup import (
     dedup_ngram_jaccard,
     dedup_simhash64,
     embedding_lsh_sql,
-    simhash16,
+    simhash16_fingerprints,
     simhash16_sql,
     simhash64_band_sql,
 )
@@ -542,6 +542,58 @@ def w_tumbling_window(spark, sf_dir):
 
 
 @query(
+    "w_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             -- >= : Spark session windows are [start, last+gap), so an event
+             -- landing exactly at the previous end opens a NEW session
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+)
+def w_session_window(spark, sf_dir):
+    """Session windows (gap-based, the Structured Streaming stateful-window
+    shape) as a batch groupBy over F.session_window — the oracle derives the
+    identical sessionization from a lag/cumulative-sum rewrite, which is
+    also the pre-Spark-3.2 formulation."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events")
+    w = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
     "o_limit_topk",
     """
     SELECT o_orderkey, o_totalprice FROM orders
@@ -1004,9 +1056,9 @@ def q_dedup_minhash(spark, sf_dir):
 )
 def q_dedup_simhash(spark, sf_dir):
     """SimHash dedup key: 16-bit sign-sum fingerprint per document (identical
-    pairs share the fingerprint)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash16(F.col("text")).cast("int").alias("simhash"))
+    pairs share the fingerprint). Two-projection variant — same values as
+    the simhash16 expression, ~4× cheaper (md5 materialized once)."""
+    return simhash16_fingerprints(_t(spark, sf_dir, "documents"))
 
 
 @query(
@@ -1263,6 +1315,45 @@ def q_text_token_stats(spark, sf_dir):
             / F.size("toks"),
             4,
         ).alias("avg_tok_len"),
+    )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+@query(
+    "text_bpe_tokens",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{BPE_SPLIT_PATTERN.replace("'", "''")}') AS bpe,
+             {_sql_toks('text')} AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(bpe) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(words) AS INTEGER) AS n_word_tokens,
+           ROUND(len(bpe)::DOUBLE / GREATEST(len(words), 1), 4) AS bpe_per_word
+    FROM t
+    """,
+)
+def q_text_bpe_tokens(spark, sf_dir):
+    """Token counting with a BPE-ish pre-tokenizer regex (the training-data
+    accounting shape: words vs subword-boundary units), alongside the plain
+    whitespace count for the fertility ratio."""
+    d = _t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_SPLIT_PATTERN), 0)
+    words = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(words).alias("n_word_tokens"),
+        F.round(
+            F.size(bpe).cast("double") / F.greatest(F.size(words), F.lit(1)), 4
+        ).alias("bpe_per_word"),
     )
 
 

@@ -1,0 +1,63 @@
+"""Plan-quality regression guards: the properties BENCH.md claims about the
+physical plans, asserted so a refactor can't silently lose them.
+
+These read ``explain("formatted")`` output — stable plan-node names, not
+timings, so they are immune to this sandbox's CPU noise.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_and_projection_reach_the_parquet_scan(spark):
+    """P1/P2/P6: predicate pushdown + column pruning (the 'free if
+    declarative' Catalyst work SURVEY §4.1 relies on)."""
+    plan = plan_of(entry_mod.queries()["p_project_filter"](spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for f in ["IsNotNull(o_totalprice)", "IsNotNull(o_custkey)", "Not(EqualTo(o_orderstatus,))"]:
+        assert f in pushed, pushed
+    # pruned read schema: only the 3 projected + filtered columns, not o_orderdate etc.
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderdate" not in read_schema and "o_totalprice" in read_schema
+
+
+def test_dictionary_joins_broadcast(spark):
+    """J4: dimension tables must plan as BroadcastHashJoin, never SMJ."""
+    plan = plan_of(entry_mod.queries()["j_broadcast_lookup"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash64",
+     "dedup_embedding_cosine"],
+)
+def test_dedup_candidate_generation_is_equijoin(spark, name):
+    """The 100 TB invariant: no cartesian products anywhere in the dedup
+    family — candidates always meet through an equi-join."""
+    plan = plan_of(entry_mod.queries()[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mention_scan_udf_single_evaluation(spark):
+    """The pandas-UDF mention scan must appear exactly once in the plan —
+    Catalyst duplicating ArrowEvalPython under explode's pushed filter was
+    a measured 2× regression (operators/mention.py)."""
+    plan = plan_of(entry_mod.queries()["kg_mentions_docs"](spark, SF_DIR))
+    assert plan.count("ArrowEvalPython") <= 1
