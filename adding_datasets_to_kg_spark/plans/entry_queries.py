@@ -1318,6 +1318,67 @@ def q_text_token_stats(spark, sf_dir):
     )
 
 
+# High-frequency English character trigrams (public corpus statistics);
+# membership ratio over a document's trigram stream is the classic
+# n-gram-profile language-ID heuristic. Space-padded trigrams included so
+# word boundaries contribute ('th', 'he' word edges).
+EN_TRIGRAMS: tuple[str, ...] = (
+    "the", "he ", " th", "ing", "and", "nd ", " an", "ng ", "er ", " of",
+    "of ", "ed ", " in", "ion", "es ", "ent", " to", "to ", "at ", "ate",
+    "ter", "ati", "tio", "er,", " co", "re ", "in ", " re", "on ", "ers",
+)
+
+
+_TRI_HITS_SQL = " + ".join(
+    f"(length(lt) - length(replace(lt, '{g.replace(chr(39), chr(39) * 2)}', ''))) // 3"
+    for g in EN_TRIGRAMS
+)
+
+@query(
+    "text_langid_ngram",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS lt FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             GREATEST(length(lt) - 2, 0) AS n_slots,
+             {_TRI_HITS_SQL} AS hits
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN n_slots > 0 THEN hits::DOUBLE / n_slots ELSE 0.0 END, 4) AS tri_ratio,
+           CASE WHEN n_slots > 0 AND hits::DOUBLE / n_slots >= 0.04
+                THEN 'en' ELSE 'unknown' END AS lang_guess
+    FROM scored
+    """,
+)
+def q_text_langid_ngram(spark, sf_dir):
+    """Language ID via character-trigram profile matching — the n-gram
+    heuristic complement to the stopword-ratio text_langid entry: density
+    of high-frequency English trigrams in the document, thresholded.
+
+    Per-trigram occurrence counting is the replace-and-measure identity
+    ``(len - len(replace(text, g, ''))) / 3`` — 30 whole-stage-codegen
+    string ops per row (an enumerate-every-position + set-membership
+    formulation ran 20s at sf0.1; this runs <1s with identical semantics
+    up to same-trigram self-overlap, which the profile trigrams cannot
+    exhibit except in degenerate periodic strings)."""
+    d = _t(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    n_slots = F.greatest(F.length(lt) - 2, F.lit(0))
+    hits = None
+    for g in EN_TRIGRAMS:
+        term = ((F.length(lt) - F.length(F.replace(lt, F.lit(g), F.lit("")))) / 3).cast("long")
+        hits = term if hits is None else hits + term
+    ratio = F.when(n_slots > 0, hits.cast("double") / n_slots).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.round(ratio, 4).alias("tri_ratio"),
+        F.when(ratio >= 0.04, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
 # GPT-2-style pre-tokenizer pattern, restricted to constructs with identical
 # semantics in Java regex (Spark) and RE2 (DuckDB): contraction suffixes,
 # space-prefixed letter runs, digit runs, punctuation runs.
