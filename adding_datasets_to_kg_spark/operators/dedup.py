@@ -322,6 +322,41 @@ def dedup_simhash64(docs: DataFrame, max_hamming: int = 6,
     )
 
 
+def dedup_survivors(docs: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs → near-dup clusters → one survivor per cluster.
+
+    The step every candidate-generation strategy above feeds: connected
+    components over the pair graph (operators.canonicalize — driver
+    union-find at dictionary scale, large-star/small-star beyond), survivor
+    = min id per component, non-candidate docs survive unchanged. Output:
+    (id, cluster_size) for survivors only.
+
+    Scale shape: the pair graph is tiny relative to the corpus (near-dup
+    clusters are small), so CC runs on pairs only; the corpus-wide part is
+    one broadcast-able anti/left join against the loser set.
+    """
+    from .canonicalize import connected_components
+
+    # CC canonicalizes by LEXICOGRAPHIC min; zero-pad numeric ids so the
+    # lexicographic winner is the numeric-min doc (oracle picks min(id)).
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    cc = connected_components(
+        pairs.select(pad("id_a").alias("id_a"), pad("id_b").alias("id_b"))
+    )
+    sizes = cc.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    losers = cc.filter(F.col("id") != F.col("canonical_id")).select("id")
+    d = docs.select(pad(id_col).alias("id"))
+    survivors = d.join(F.broadcast(losers), "id", "left_anti")
+    return (
+        survivors.join(F.broadcast(sizes), survivors.id == sizes.canonical_id, "left")
+        .select(
+            F.col("id").cast("long").alias(id_col),
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        )
+    )
+
+
 # --- n-gram Jaccard ----------------------------------------------------------
 
 def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.8,

@@ -37,6 +37,7 @@ from ..operators.dedup import (
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
     dedup_simhash64,
+    dedup_survivors,
     embedding_lsh_sql,
     simhash16_fingerprints,
     simhash16_sql,
@@ -1019,10 +1020,9 @@ def _sql_shingles(text_col: str, n: int = 3) -> str:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"""
-    WITH sig AS (
+# sig/bands CTE bodies shared by the minhash pair entry and the
+# cluster-survivor entry's oracle.
+_MINHASH_CTES = f"""sig AS (
       SELECT doc_id,
              {', '.join(
                  f"list_min(list_transform({_sql_shingles('text')}, s -> md5('seed{i}:' || s))) AS h{i}"
@@ -1035,7 +1035,13 @@ def _sql_shingles(text_col: str, n: int = 3) -> str:
           f"SELECT doc_id, {b} AS band_idx, h{2 * b} || '|' || h{2 * b + 1} AS band_key FROM sig"
           for b in range(4)
       )}
-    )
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_MINHASH_CTES}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -1045,6 +1051,46 @@ def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup candidates: shingle → 8 md5 minhashes → 4 bands
     of 2 → band-key equi-join."""
     return dedup_minhash_lsh(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_cluster_survivors",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b AS a, id_a AS b FROM cand
+    ),
+    seed AS (
+      SELECT a AS id, b AS lbl FROM edges
+      UNION SELECT a AS id, a AS lbl FROM edges
+    ),
+    reach AS (
+      SELECT id, lbl FROM seed
+      UNION
+      SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    canon AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id),
+    sizes AS (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size FROM canon GROUP BY canonical)
+    SELECT d.doc_id, COALESCE(s.cluster_size, 1) AS cluster_size
+    FROM documents d
+    LEFT JOIN sizes s ON s.canonical = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT id FROM canon WHERE id <> canonical)
+    """,
+)
+def q_dedup_cluster_survivors(spark, sf_dir):
+    """The full dedup endgame: MinHash-LSH candidate pairs → connected
+    components over the pair graph → min-id survivor per near-dup cluster
+    (losers dropped, singletons kept, cluster_size attached). The oracle
+    computes the same components by recursive-CTE label closure — the one
+    genuinely iterative training-data op, hash-checked end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_survivors(docs, dedup_minhash_lsh(docs))
 
 
 @query(
@@ -1441,6 +1487,64 @@ def q_text_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 of the canonical sorted token set."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "corpus_clean",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+             {_sql_toks('lower(text)')} AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             ROUND((
+               (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) +
+               LEAST(n / 200.0, 1.0) +
+               (CASE WHEN len(toks) > 0
+                     THEN len(list_filter(toks, x -> x IN {_SQL_STOP})) / len(toks)
+                     ELSE 0.0 END)
+             ) / 3.0, 4) AS quality,
+             CASE WHEN len(toks) > 0 AND
+                       len(list_filter(toks, x -> x IN {_SQL_STOP}))::DOUBLE / len(toks) >= 0.08
+                  THEN 'en' ELSE 'unknown' END AS lang
+      FROM t
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS dup_count,
+           ROUND(MIN(quality), 4) AS quality
+    FROM scored
+    WHERE lang = 'en' AND quality >= 0.5
+    GROUP BY md5(text)
+    """,
+)
+def q_corpus_clean(spark, sf_dir):
+    """The composed training-data cleaning flow a corpus pipeline actually
+    runs: language gate → quality gate → exact dedup with min-id survivor —
+    all three stages fused into one Catalyst plan (scan → filter →
+    hash-aggregate; one shuffle total, filters evaluated before the
+    exchange)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        quality_score("text").alias("quality"),
+        langid_en("text").alias("lang"),
+    )
+    kept = scored.filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    return (
+        kept.withColumn("_h", F.md5("text"))
+        .groupBy("_h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.round(F.min("quality"), 4).alias("quality"),
+        )
+        .drop("_h")
+    )
 
 
 # ---------------------------------------------------------------------------

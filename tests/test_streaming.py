@@ -81,3 +81,29 @@ def test_stream_matches_batch_and_resumes(spark, lex, tmp_path):
     chunk2_rows = emit_triples(linked2, lex).count()
     rows_after_second = read_streamed_triples(spark, out_dir).count()
     assert rows_after_second == rows_after_first + chunk2_rows
+
+
+def test_stateful_progress_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: per-conversation accumulators must carry
+    across micro-batches AND across query restarts (state store in the
+    checkpoint), not reset per batch."""
+    from adding_datasets_to_kg_spark.streaming.stateful import read_progress, run_progress_stream
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    rows1 = [("c1", i, "user", f"turn {i}", None, None) for i in range(3)]
+    rows2 = [("c1", i, "user", f"turn {i}", None, None) for i in range(3, 8)] + [
+        ("c2", 0, "user", "hello", None, None)
+    ]
+    spark.createDataFrame(rows1, dg.TRANSCRIPT_SCHEMA).write.mode("append").parquet(in_dir)
+    run_progress_stream(spark, in_dir, out_dir).awaitTermination()
+    got1 = {r.conv_id: r for r in read_progress(spark, out_dir).collect()}
+    assert got1["c1"].n_turns == 3 and got1["c1"].max_turn_idx == 2
+
+    # restart with new files and the SAME checkpoint: counts must resume
+    spark.createDataFrame(rows2, dg.TRANSCRIPT_SCHEMA).write.mode("append").parquet(in_dir)
+    run_progress_stream(spark, in_dir, out_dir).awaitTermination()
+    got2 = {r.conv_id: r for r in read_progress(spark, out_dir).collect()}
+    assert got2["c1"].n_turns == 8, "state reset instead of resuming"
+    assert got2["c1"].max_turn_idx == 7
+    assert got2["c1"].batch_turns == 5  # only the new files were processed
+    assert got2["c2"].n_turns == 1
