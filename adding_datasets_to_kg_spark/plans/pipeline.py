@@ -328,6 +328,7 @@ def run_pipeline_checkpointed(
     output_dir: str,
     n_buckets: int = 8,
     fail_after_bucket: int | None = None,
+    graph_id: str = "graph",
 ) -> dict:
     """Resumable run: per-bucket triple extraction with atomic commit +
     checkpoint row; final canonicalize/merge over all bucket outputs.
@@ -389,5 +390,5 @@ def run_pipeline_checkpointed(
         "failures": failures,
         "metadata": graph_metadata(nodes, edges),
     }
-    write_graph_artifacts(out, lex, output_dir)
+    write_graph_artifacts(out, lex, output_dir, graph_id)
     return out

@@ -51,6 +51,8 @@ def main() -> None:
                          "predicate_map]); default: built-in fixture lexicons")
     ap.add_argument("--no-resume", action="store_true",
                     help="one-shot run without per-bucket checkpoints")
+    ap.add_argument("--graph-id", default="goldenKG",
+                    help="name stamped on the {graph_id}_metadata.json artifact")
     args = ap.parse_args()
 
     from adding_datasets_to_kg_spark.session import get_spark
@@ -94,10 +96,14 @@ def main() -> None:
 
     t0 = time.time()
     if args.no_resume:
-        out = run_pipeline(transcripts, lex, output_dir=args.output, compute_metadata=False)
+        out = run_pipeline(
+            transcripts, lex, output_dir=args.output,
+            compute_metadata=False, graph_id=args.graph_id,
+        )
     else:
         out = run_pipeline_checkpointed(
-            transcripts, lex, args.output, n_buckets=args.buckets
+            transcripts, lex, args.output, n_buckets=args.buckets,
+            graph_id=args.graph_id,
         )
     md = graph_metadata(out["nodes"], out["edges"])
     md["wall_sec"] = round(time.time() - t0, 2)
