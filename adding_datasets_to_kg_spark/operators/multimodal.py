@@ -69,6 +69,80 @@ def _fake_decode(payload: bytes, kind: str) -> list[float]:
     ]
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms int, orig_width int, orig_height int"
+)
+
+
+def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize pass for image rows (video/audio rows pass through untouched):
+    Arrow-batched mapInPandas with the pixel work STUBBED (no PIL in this
+    container) — the stand-in deterministically rescales the payload length
+    by the area ratio, preserving the real pipeline shape: per-batch
+    streaming, binary in/binary out, metadata rewritten, originals kept.
+    Swap ``_fake_resize`` for ``PIL.Image.resize`` and nothing else changes.
+    """
+
+    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        # STUB for the real decoder+resampler: deterministic payload
+        # truncation/tiling to the area-scaled length.
+        target_len = max(1, int(len(payload) * (target_w * target_h) / max(w * h, 1)))
+        reps = target_len // max(len(payload), 1) + 1
+        return (payload * reps)[:target_len]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["orig_width"] = pdf["width"]
+            out["orig_height"] = pdf["height"]
+            is_img = pdf["kind"] == "image"
+            out.loc[is_img, "payload"] = [
+                _fake_resize(p, int(w), int(h))
+                for p, w, h in zip(
+                    pdf.loc[is_img, "payload"], pdf.loc[is_img, "width"], pdf.loc[is_img, "height"]
+                )
+            ]
+            out.loc[is_img, "width"] = target_w
+            out.loc[is_img, "height"] = target_h
+            yield out
+
+    return media.mapInPandas(process, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_ms int, frame_payload binary"
+
+
+def sample_frames(media: DataFrame, frame_stride_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled timestamp
+    (explode-shaped mapInPandas — rows out ≠ rows in). Frame extraction is
+    STUBBED (no ffmpeg): the stand-in slices a deterministic byte window per
+    frame; the Spark-side plumbing — per-row fan-out, binary frame payloads,
+    batch streaming — is the real contract a decoder plugs into.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            vids = pdf[pdf["kind"] == "video"]
+            for _, r in vids.iterrows():
+                dur = int(r["duration_ms"]) if not pd.isna(r["duration_ms"]) else 0
+                payload = r["payload"]
+                for k, ms in enumerate(range(0, dur, frame_stride_ms)):
+                    lo = (k * 16) % max(len(payload), 1)
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": k,
+                            "frame_ms": ms,
+                            "frame_payload": payload[lo : lo + 16],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_ms", "frame_payload"])
+
+    return media.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, frame_stride: int = 10) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow-batched, streaming).
 

@@ -44,7 +44,7 @@ from ..operators.dedup import (
     simhash64_band_sql,
 )
 from ..operators.merge import merge_nodes
-from ..operators.multimodal import attach_media, extract_features
+from ..operators.multimodal import attach_media, extract_features, resize_images, sample_frames
 from ..operators.similarity import topk_bruteforce, topk_ivf
 from ..sources.kgx import conform_nodes, infer_property_types, nodes_to_typed_csv_df
 
@@ -1573,6 +1573,56 @@ def q_mm_features(spark, sf_dir):
     media = attach_media(_t(spark, sf_dir, "documents"))
     feats = extract_features(media)
     return feats.select("media_id", "kind", "n_bytes", "sha", "frames_sampled")
+
+
+@query(
+    "mm_resize_images",
+    """
+    SELECT doc_id AS media_id,
+           224 AS width, 224 AS height,
+           CAST((doc_id % 4 + 1) * 256 AS INTEGER) AS orig_width,
+           256 AS orig_height,
+           CAST(GREATEST(strlen(text) * 50176 // ((doc_id % 4 + 1) * 256 * 256), 1) AS INTEGER) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q_mm_resize(spark, sf_dir):
+    """Image-resize plumbing (stub resampler): image rows land at the target
+    dims with the payload area-rescaled and originals kept; the oracle
+    recomputes the deterministic byte math. Video/audio pass-through is
+    covered by the row count staying per-kind in tests."""
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    resized = resize_images(media, target_w=224, target_h=224)
+    return resized.filter(F.col("kind") == "image").select(
+        "media_id", "width", "height", "orig_width", "orig_height",
+        F.length("payload").cast("int").alias("n_bytes"),
+    )
+
+
+@query(
+    "mm_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id, text, unnest(range(0, doc_id % 30 + 1)) AS k
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id AS media_id,
+           CAST(k AS INTEGER) AS frame_idx,
+           CAST(k * 1000 AS INTEGER) AS frame_ms,
+           CAST(LEAST(16, strlen(text) - ((k * 16) % strlen(text))) AS INTEGER) AS n_frame_bytes
+    FROM v
+    """,
+)
+def q_mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: one row per sampled timestamp per
+    video (explode-shaped mapInPandas, stub frame slicer); the oracle
+    re-derives frame indices, timestamps and per-frame byte counts."""
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(media, frame_stride_ms=1000)
+    return frames.select(
+        "media_id", "frame_idx", "frame_ms",
+        F.length("frame_payload").cast("int").alias("n_frame_bytes"),
+    )
 
 
 # ---------------------------------------------------------------------------
