@@ -136,3 +136,19 @@ def test_minhash_single_pass_fold_matches_per_seed_min(spark):
     a = {r.doc_id: r.sig for r in fold.collect()}
     b = {r.doc_id: r.sig for r in reference.collect()}
     assert a == b
+
+
+def test_survivors_match_brute_clustering(spark):
+    """dedup_survivors == brute-force reachability clustering + min-id
+    survivor selection, on a pair graph with chains, a triangle and
+    singletons."""
+    from adding_datasets_to_kg_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(12)], "doc_id long, text string")
+    pair_rows = [(0, 5), (5, 9), (1, 2), (2, 3), (1, 3), (10, 11)]
+    pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_size) for r in dedup_survivors(docs, pairs).collect()}
+    # clusters: {0,5,9} → 0(size3); {1,2,3} → 1(size3); {10,11} → 10(size2);
+    # singletons 4,6,7,8 survive with size 1
+    want = {(0, 3), (1, 3), (10, 2), (4, 1), (6, 1), (7, 1), (8, 1)}
+    assert got == want
