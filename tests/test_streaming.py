@@ -107,3 +107,47 @@ def test_stateful_progress_survives_restart(spark, tmp_path):
     assert got2["c1"].max_turn_idx == 7
     assert got2["c1"].batch_turns == 5  # only the new files were processed
     assert got2["c2"].n_turns == 1
+
+
+def test_watermark_drops_late_and_finalizes_windows(spark, tmp_path):
+    """Watermarked tumbling windows: a turn arriving later than the
+    watermark is dropped, and append mode emits a window exactly once —
+    after the watermark passes its end — so finalized counts never grow."""
+    import datetime as dt
+
+    from adding_datasets_to_kg_spark.streaming.windowed import (
+        read_finalized_windows,
+        run_windowed_stream,
+    )
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+
+    def t(h, m):
+        return dt.datetime(2026, 1, 1, h, m, 0)
+
+    # file 1: two turns in the 10:00 window + one at 12:10 that pushes the
+    # max event time (watermark after this batch = 11:40)
+    rows1 = [("c1", 0, "user", "a", None, t(10, 0)),
+             ("c1", 1, "user", "b", None, t(10, 30)),
+             ("c2", 0, "user", "c", None, t(12, 10))]
+    # file 2: a LATE turn for the already-finalized 10:00 window (< watermark)
+    # plus another 12:xx turn
+    rows2 = [("c3", 0, "user", "late", None, t(10, 45)),
+             ("c2", 1, "user", "d", None, t(12, 20))]
+
+    # two sequential drains over ONE checkpoint: the watermark advances in
+    # run 1 (max event 12:10 → watermark 11:40) and persists, so run 2 must
+    # treat the 10:45 arrival as late
+    spark.createDataFrame(rows1, dg.TRANSCRIPT_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    run_windowed_stream(spark, in_dir, out_dir,
+                        window="1 hour", late_threshold="30 minutes").awaitTermination()
+    spark.createDataFrame(rows2, dg.TRANSCRIPT_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    run_windowed_stream(spark, in_dir, out_dir,
+                        window="1 hour", late_threshold="30 minutes").awaitTermination()
+
+    finalized = read_finalized_windows(spark, out_dir).collect()
+    by_start = {r.win_start: r for r in finalized}
+    # only the 10:00 window is past the watermark → exactly one finalized row
+    assert list(by_start) == [t(10, 0)]
+    # the late 10:45 turn was dropped: count stays 2, not 3
+    assert by_start[t(10, 0)].n_turns == 2
