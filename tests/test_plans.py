@@ -61,3 +61,27 @@ def test_mention_scan_udf_single_evaluation(spark):
     a measured 2× regression (operators/mention.py)."""
     plan = plan_of(entry_mod.queries()["kg_mentions_docs"](spark, SF_DIR))
     assert plan.count("ArrowEvalPython") <= 1
+
+
+def test_mention_stream_shuffles_exactly_once(spark):
+    """The flagship pipeline optimization (plans/pipeline.py
+    extract_linked_mentions): one explicit conv_id repartition placed after
+    the UDF serves the link aggregate AND the distinct — the whole mention
+    stream must plan exactly ONE shuffle exchange."""
+    import re
+
+    from adding_datasets_to_kg_spark.datagen import transcripts as dg
+    from adding_datasets_to_kg_spark.plans.pipeline import Lexicons, extract_linked_mentions
+
+    lex = Lexicons(
+        gene=dg.gene_lexicon_df(spark),
+        disease=dg.disease_lexicon_df(spark),
+        variant=dg.variant_lexicon_df(spark),
+    )
+    t = spark.createDataFrame(dg.generate_corpus(5, seed=1), dg.TRANSCRIPT_SCHEMA)
+    linked = extract_linked_mentions(t, lex).select(
+        "conv_id", "turn_idx", "entity_id", "entity_type"
+    ).dropDuplicates()
+    plan = plan_of(linked)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
