@@ -347,9 +347,12 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame,
     sizes = cc.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     losers = cc.filter(F.col("id") != F.col("canonical_id")).select("id")
     d = docs.select(pad(id_col).alias("id"))
-    survivors = d.join(F.broadcast(losers), "id", "left_anti")
+    # NO broadcast hints: on a heavily-duplicated corpus the loser set is
+    # corpus-scale (web crawls run ~50% dups) — AQE picks broadcast when the
+    # pair graph is actually small, shuffle join when it is not.
+    survivors = d.join(losers, "id", "left_anti")
     return (
-        survivors.join(F.broadcast(sizes), survivors.id == sizes.canonical_id, "left")
+        survivors.join(sizes, survivors.id == sizes.canonical_id, "left")
         .select(
             F.col("id").cast("long").alias(id_col),
             F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
@@ -387,7 +390,15 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.8,
             .select("s")
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    sh = sh.localCheckpoint(eager=True)
+    # Materialize the (filtered) posting list once for its three consumers
+    # (sizes + both self-join sides) — MEMORY_AND_DISK persist, not
+    # localCheckpoint: the posting list is corpus-scale, so spill-when-needed
+    # beats an unconditional full disk copy; the eager count() prevents AQE's
+    # concurrent query stages from racing the first materialization.
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -438,7 +449,12 @@ def embedding_lsh_pairs(embs: DataFrame, threshold: float = 0.95,
     Output: (id_a, id_b, cos).
     """
     planes = hyperplane_signs(n_bands * band_planes, dim)
-    d = embs.select(F.col(id_col), as_double(vec_col).alias("v")).localCheckpoint(eager=True)
+    # d is a bare scan+cast — deliberately NOT materialized: the recheck
+    # joins (va/vb) re-read the columnar source, which at 100 TB beats
+    # writing a full copy of the corpus vectors to executor disk. Only the
+    # SMALL band table below is checkpointed (it carries the plane-dot
+    # compute and feeds both self-join sides).
+    d = embs.select(F.col(id_col), as_double(vec_col).alias("v"))
 
     def bit(p: int) -> Column:
         plane = F.array(*[F.lit(x) for x in planes[p]])

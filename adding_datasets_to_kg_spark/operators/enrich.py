@@ -61,18 +61,25 @@ def enrich_batched(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            start = 0
-            while start < len(pdf):
-                # grow the row window until it holds batch_size distinct ids
-                end, seen = start, set()
-                while end < len(pdf) and (len(seen) < batch_size or pdf[id_col].iat[end] in seen):
-                    seen.add(pdf[id_col].iat[end])
-                    end += 1
-                chunk = pdf.iloc[start:end].copy()
-                resolved = resolver(sorted(i for i in seen if i is not None))
+            if not len(pdf):
+                continue
+            # vectorized batching: factorize assigns each DISTINCT id one
+            # code; code // batch_size is its resolver batch — no per-row
+            # Python loop (an index-at-a-time scan here was the slow path
+            # for million-row Arrow batches)
+            codes, uniques = pd.factorize(pdf[id_col])
+            batch_of_row = codes // batch_size  # code -1 (null id) → batch -1
+            for b in sorted(set(batch_of_row)):
+                chunk = pdf[batch_of_row == b].copy()
+                if b < 0:
+                    chunk[out_col] = None
+                    chunk["batch_n_ids"] = 0
+                    yield chunk
+                    continue
+                ids = sorted(uniques[b * batch_size : (b + 1) * batch_size])
+                resolved = resolver(ids)
                 chunk[out_col] = chunk[id_col].map(resolved)
-                chunk["batch_n_ids"] = len(seen)
+                chunk["batch_n_ids"] = len(ids)
                 yield chunk
-                start = end
 
     return df.mapInPandas(gen, schema=out_schema)
