@@ -1,7 +1,10 @@
 """Local replica of the driver's correctness gate: run every queries() entry
-and its DuckDB oracle at sf0.01, compare row count + column names + an
+and its DuckDB oracle, compare row count + column names + an
 order-insensitive value multiset (exact equality — the driver hashes values,
-so near-misses are real failures)."""
+so near-misses are real failures).
+
+Runs at sf0.01 (the driver's gate scale) AND sf0.001 — a second scale
+catches oracles that only match because of size-dependent accidents."""
 
 import math
 
@@ -10,19 +13,25 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+SF_DIR = SF_DIRS[0]
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
 
+@pytest.fixture(scope="module", params=SF_DIRS, ids=["sf0.01", "sf0.001"])
+def sf_dir(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def ddb():
+def ddb(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     return con
 
@@ -52,9 +61,9 @@ ALL = sorted(entry_mod.queries().keys())
 
 
 @pytest.mark.parametrize("name", ALL)
-def test_query_parity(spark, ddb, name):
+def test_query_parity(spark, ddb, sf_dir, name):
     q = entry_mod.queries()[name]
-    sdf = q(spark, SF_DIR)
+    sdf = q(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     oracle = entry_mod.oracle_sql().get(name)
