@@ -37,14 +37,20 @@ def tokens(col: Column | str, pattern: str = r"\s+") -> Column:
     return F.filter(F.split(F.trim(c), pattern), lambda t: t != "")
 
 
-def canon_token(col: Column) -> Column:
+def canon_token(col: Column, strip_therapy_stopwords: bool = True) -> Column:
     """Lowercase, strip parentheticals, therapy stopwords and punctuation
     (keeping ``+``/``-`` per the reference's charset), squash whitespace
     (map_therapy_id_revised.py:26,43-49). Deviation kept from the reference:
-    punctuation becomes a space (token split point) rather than vanishing."""
+    punctuation becomes a space (token split point) rather than vanishing.
+
+    ``strip_therapy_stopwords=False`` gives the DOMAIN-NEUTRAL canonicalizer
+    (used by the generic document fingerprint, where silently merging
+    'winning combination' with 'winning' would be a dedup false positive);
+    the default mirrors the reference's therapy-map canonicalization."""
     c = F.lower(col)
     c = F.regexp_replace(c, r"\([^)]*\)", "")
-    c = F.regexp_replace(c, THERAPY_STOPWORDS_REGEX, " ")
+    if strip_therapy_stopwords:
+        c = F.regexp_replace(c, THERAPY_STOPWORDS_REGEX, " ")
     c = F.regexp_replace(c, r"[^a-z0-9+\s-]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
@@ -74,9 +80,11 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the canonicalized,
-    order-insensitive token set. Stable across runs and engines."""
+    order-insensitive token set. Stable across runs and engines. Uses the
+    domain-neutral canonicalizer — therapy stopword stripping stays in the
+    CIViC combo path only."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.md5(canonical_set_key(tokens(canon_token(c))))
+    return F.md5(canonical_set_key(tokens(canon_token(c, strip_therapy_stopwords=False))))
 
 
 def stopword_ratio(col: Column | str) -> Column:

@@ -408,13 +408,19 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.8,
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    result = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # materialize the SMALL pair result, then release the corpus-scale
+    # posting list — persisting it for the session lifetime would pin one
+    # copy per corpus processed
+    result = result.localCheckpoint(eager=True)
+    sh.unpersist()
+    return result
 
 
 # --- embedding cosine ---------------------------------------------------------
@@ -545,7 +551,11 @@ def embedding_lsh_sql(threshold: float, n_bands: int = 4, band_planes: int = 4,
 def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.95,
                            vec_col: str = "embedding", id_col: str = "vec_id",
                            n_planes: int = 16) -> DataFrame:
-    """Near-dup pairs by cosine ≥ threshold.
+    """Near-dup pairs by cosine ≥ threshold. APPROXIMATE by default: the
+    default n_planes=16 runs banded LSH, which recalls ~all pairs at
+    dedup-grade thresholds (cos ≥ 0.95) but only a fraction of borderline
+    ones — callers needing the exhaustive pair set must pass n_planes=0
+    explicitly and accept the O(n²) cost.
 
     n_planes  > 0 → banded hyperplane LSH (embedding_lsh_pairs) — the
     registered/benched scale path; n_planes is split into 4 bands.

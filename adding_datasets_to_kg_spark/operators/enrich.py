@@ -69,8 +69,10 @@ def enrich_batched(
             # for million-row Arrow batches)
             codes, uniques = pd.factorize(pdf[id_col])
             batch_of_row = codes // batch_size  # code -1 (null id) → batch -1
-            for b in sorted(set(batch_of_row)):
-                chunk = pdf[batch_of_row == b].copy()
+            # one O(n) pass: groupby yields each batch's rows without
+            # re-masking the whole frame per batch
+            for b, chunk in pdf.groupby(batch_of_row, sort=True):
+                chunk = chunk.copy()
                 if b < 0:
                     chunk[out_col] = None
                     chunk["batch_n_ids"] = 0

@@ -546,12 +546,12 @@ def w_tumbling_window(spark, sf_dir):
     "w_session_window",
     """
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events
     ),
     flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              -- >= : Spark session windows are [start, last+gap), so an event
              -- landing exactly at the previous end opens a NEW session
              CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
@@ -560,7 +560,7 @@ def w_tumbling_window(spark, sf_dir):
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM flagged
     )
@@ -1251,10 +1251,15 @@ _IVF_COS = (
       CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
       GROUP BY a.cell_id, d.dim
     ),
+    means_agg AS (
+      SELECT cell_id, list(m ORDER BY dim) AS mcent FROM dims GROUP BY cell_id
+    ),
+    -- empty cells are MISSING from means_agg (an aggregate-over-join would
+    -- yield a bogus [NULL] list that COALESCE cannot catch), so the left
+    -- join miss correctly falls back to the seed centroid
     cent1 AS (
-      SELECT c0.cell_id, COALESCE(list(d.m ORDER BY d.dim), c0.centroid) AS centroid
-      FROM cent0 c0 LEFT JOIN dims d USING (cell_id)
-      GROUP BY c0.cell_id, c0.centroid
+      SELECT c0.cell_id, COALESCE(ma.mcent, c0.centroid) AS centroid
+      FROM cent0 c0 LEFT JOIN means_agg ma USING (cell_id)
     )
     SELECT vec_id, cell_id FROM (
       SELECT c.vec_id, ct.cell_id,
@@ -1469,9 +1474,8 @@ def q_text_bpe_tokens(spark, sf_dir):
     r"""
     WITH canon AS (
       SELECT doc_id,
-             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
+             trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
                '\([^)]*\)', '', 'g'),
-               '\b(regimen|combination|combo|therapy|therapies)\b', ' ', 'g'),
                '[^a-z0-9+\s-]', ' ', 'g'),
                '\s+', ' ', 'g')) AS ct
       FROM documents

@@ -329,6 +329,7 @@ def run_pipeline_checkpointed(
     n_buckets: int = 8,
     fail_after_bucket: int | None = None,
     graph_id: str = "graph",
+    compute_metadata: bool = True,
 ) -> dict:
     """Resumable run: per-bucket triple extraction with atomic commit +
     checkpoint row; final canonicalize/merge over all bucket outputs.
@@ -383,12 +384,8 @@ def run_pipeline_checkpointed(
     nodes = merge_nodes(nodes)
     nodes.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_nodes"))
     edges.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_edges"))
-    out = {
-        "nodes": nodes,
-        "edges": edges,
-        "norm_map": norm_map,
-        "failures": failures,
-        "metadata": graph_metadata(nodes, edges),
-    }
+    out = {"nodes": nodes, "edges": edges, "norm_map": norm_map, "failures": failures}
+    if compute_metadata:
+        out["metadata"] = graph_metadata(nodes, edges)
     write_graph_artifacts(out, lex, output_dir, graph_id)
     return out

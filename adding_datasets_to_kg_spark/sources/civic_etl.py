@@ -147,7 +147,9 @@ def combo_tokens(col: Column) -> Column:
     them — reference splits first, then canonicalizes each token); single-
     token combos fall back to a hyphen split (:36-39)."""
     def canon_all(parts: Column) -> Column:
-        return F.filter(F.transform(parts, canon_token), lambda t: t != "")
+        # 1-arg lambda required: passing canon_token directly would make
+        # F.transform feed the element INDEX into its second parameter
+        return F.filter(F.transform(parts, lambda t: canon_token(t)), lambda t: t != "")
 
     primary = canon_all(F.split(col, COMBO_SEP_REGEX))
     hyphen = canon_all(F.split(col, r"\s*[-–—]\s*"))

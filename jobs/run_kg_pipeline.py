@@ -98,14 +98,16 @@ def main() -> None:
     if args.no_resume:
         out = run_pipeline(
             transcripts, lex, output_dir=args.output,
-            compute_metadata=False, graph_id=args.graph_id,
+            compute_metadata=True, graph_id=args.graph_id,
         )
     else:
         out = run_pipeline_checkpointed(
             transcripts, lex, args.output, n_buckets=args.buckets,
             graph_id=args.graph_id,
         )
-    md = graph_metadata(out["nodes"], out["edges"])
+    # both variants computed metadata (and persisted {graph_id}_metadata.json)
+    # already — reuse it, don't re-run the 6 metadata actions
+    md = out.get("metadata") or graph_metadata(out["nodes"], out["edges"])
     md["wall_sec"] = round(time.time() - t0, 2)
     with open(f"{args.output.rstrip('/')}/metadata.json", "w") as f:
         json.dump(md, f, indent=2)

@@ -96,7 +96,9 @@ def test_jaccard_hot_shingle_cutoff_caps_posting_lists(spark):
 
 
 def test_simhash64_banded_join_complete_and_sound(spark):
-    docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(300)
+    # deterministic subset — an unordered limit() may pick different rows
+    # for the two independent jobs below
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").filter("doc_id < 300")
     fps = {
         r.doc_id: (r.b0, r.b1, r.b2, r.b3)
         for r in simhash64_fingerprints(docs).collect()
