@@ -64,16 +64,29 @@ def read_table(
     spark: SparkSession, root: str, name: str, buckets: list[int] | None = None
 ) -> DataFrame:
     """Read the table; ``buckets`` prunes to specific bucket partitions
-    (directory-level pruning, same effect as Iceberg partition pruning)."""
+    (directory-level pruning, same effect as Iceberg partition pruning).
+
+    Buckets with no data have NO directory (partitionBy only writes
+    value-present partitions), so requested-but-absent buckets contribute
+    zero rows — like Iceberg pruning — instead of a path-missing error; an
+    explicitly EMPTY bucket list reads nothing (schema from the manifest).
+    """
+    from pyspark.sql.types import StructType
+
     data_path = os.path.join(root, name, "data")
-    df = spark.read.option("basePath", data_path).parquet(
-        *(
-            [os.path.join(data_path, f"bucket={b}") for b in buckets]
-            if buckets
-            else [data_path]
-        )
-    )
-    return df
+    if buckets is None:
+        return spark.read.option("basePath", data_path).parquet(data_path)
+    paths = [
+        p
+        for b in buckets
+        if os.path.exists(p := os.path.join(data_path, f"bucket={b}"))
+    ]
+    if not paths:
+        schema = StructType.fromJson(read_manifest(root, name)["schema"])
+        empty = spark.createDataFrame([], schema)
+        # partition column materializes on real reads; keep shape identical
+        return empty.withColumn("bucket", F.lit(None).cast("int"))
+    return spark.read.option("basePath", data_path).parquet(*paths)
 
 
 def read_manifest(root: str, name: str) -> dict:

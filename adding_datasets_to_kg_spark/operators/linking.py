@@ -143,7 +143,14 @@ def emit_variant_gene_triples(
             ).alias("entity_id"),
             F.col("gene_id").alias("vl_gene_id"),
             F.col("consequence").alias("vl_consequence"),
-        ).dropDuplicates(["entity_id"])
+        )
+        # deterministic row per variant id: a lexicon may carry several
+        # rows per caid (per-rsid, per-transcript); dropDuplicates on the
+        # subset key would keep an arbitrary one
+        .groupBy("entity_id")
+        .agg(F.min(F.struct("vl_gene_id", "vl_consequence")).alias("_m"))
+        .select("entity_id", F.col("_m.vl_gene_id").alias("vl_gene_id"),
+                F.col("_m.vl_consequence").alias("vl_consequence"))
     )
     # No pre-join distinct: the broadcast join is cheap per-row and the
     # union-level dedup collapses duplicates in the same shuffle that dedups

@@ -106,18 +106,27 @@ def build_lexicon_entries(
     broadcasting the compiled trie is the intended scale path — the 100 TB
     side stays distributed.
     """
+    # Null-guard EVERY term and entity id: one NULL cell in a dimension
+    # table must degrade to a skipped entry, not a TypeError when the entry
+    # set is sorted for the broadcast (None < str is unordered in Python).
     entries: list[tuple[str, str, str]] = []
     if gene_lexicon is not None:
         for r in gene_lexicon.select("symbol", "name", "gene_id").collect():
-            entries.append((r["symbol"], r["gene_id"], "gene"))
+            if r["gene_id"] is None:
+                continue
+            if r["symbol"]:
+                entries.append((r["symbol"], r["gene_id"], "gene"))
             if r["name"]:
                 entries.append((r["name"], r["gene_id"], "gene"))
     if disease_lexicon is not None:
         for r in disease_lexicon.select("name", "disease_id").collect():
-            entries.append((r["name"], r["disease_id"], "disease"))
+            if r["name"] and r["disease_id"]:
+                entries.append((r["name"], r["disease_id"], "disease"))
     if variant_lexicon is not None:
         for r in variant_lexicon.select("rsid", "caid", "hgvs").collect():
             canonical = r["caid"] if r["caid"] else f"HGVS:{r['hgvs']}" if r["hgvs"] and not r["hgvs"].startswith("HGVS:") else r["hgvs"]
+            if canonical is None:
+                continue
             if r["rsid"]:
                 entries.append((r["rsid"], canonical, "variant"))
             if r["caid"]:

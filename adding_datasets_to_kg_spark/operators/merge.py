@@ -39,8 +39,37 @@ def _merged_name() -> F.Column:
     )["n"]
 
 
+def _prop_entries_partial() -> F.Column:
+    # partial aggregate: union of (key, value) property entries
+    return F.array_distinct(
+        F.flatten(
+            F.collect_list(F.map_entries(F.coalesce("properties", F.create_map())))
+        )
+    )
+
+
+def _entries_to_map(entries: F.Column) -> F.Column:
+    """Deterministic property union: sort entries by (key, value) and keep
+    the FIRST value per key — i.e. per-key lexicographic-min, stable under
+    any partitioning. (F.first(properties) — the round-1 choice — was
+    order-dependent whenever two sources disagreed on a key.)"""
+    return F.aggregate(
+        F.array_sort(entries),
+        F.create_map().cast("map<string,string>"),
+        lambda acc, e: F.when(
+            F.array_contains(F.map_keys(acc), e["key"]), acc
+        ).otherwise(F.map_concat(acc, F.create_map(e["key"], e["value"]))),
+    )
+
+
 def merge_nodes(nodes: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
-    """Two-phase salted node merge on id (J8)."""
+    """Two-phase salted node merge on id (J8).
+
+    Every aggregate here is order-independent (min-struct name, set-union
+    category, sorted per-key-min property union), so the salt assignment —
+    which only exists to spread hot ids across partial-agg buckets — cannot
+    influence the result.
+    """
     salted = nodes.withColumn(
         "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     )
@@ -49,16 +78,19 @@ def merge_nodes(nodes: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> D
         F.array_distinct(
             F.flatten(F.collect_list(F.coalesce("category", F.array())))
         ).alias("category"),
-        F.first("properties", ignorenulls=True).alias("properties"),
+        _prop_entries_partial().alias("_prop_entries"),
     )
     final = partial.groupBy("id").agg(
         _merged_name().alias("name"),
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("category")))).alias(
             "category"
         ),
-        F.first("properties", ignorenulls=True).alias("properties"),
+        F.array_distinct(F.flatten(F.collect_list("_prop_entries"))).alias("_all_entries"),
     )
-    return final.select(*NODE_COLS)
+    merged_props = F.when(
+        F.size("_all_entries") > 0, _entries_to_map(F.col("_all_entries"))
+    ).otherwise(F.lit(None).cast("map<string,string>"))
+    return final.withColumn("properties", merged_props).select(*NODE_COLS)
 
 
 def dedup_edges(edges: DataFrame) -> DataFrame:

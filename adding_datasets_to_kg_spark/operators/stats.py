@@ -43,8 +43,11 @@ def dangling_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     ids = nodes.select("id").distinct()
     missing_subj = edges.join(ids, edges.subject == ids.id, "left_anti")
     missing_obj = edges.join(ids, edges.object == ids.id, "left_anti")
+    # dedup on the full edge identity (incl. source): an edge missing BOTH
+    # endpoints appears in both branches and must count once, but two
+    # distinct cross-source edges sharing (s, p, o) must each count
     return missing_subj.unionByName(missing_obj).dropDuplicates(
-        ["subject", "predicate", "object"]
+        ["subject", "predicate", "object", "primary_knowledge_source"]
     )
 
 
@@ -62,14 +65,22 @@ def node_degrees(edges: DataFrame, salt_buckets: int = 16) -> DataFrame:
 
 
 def degree_histogram(edges: DataFrame, n_bins: int = 200) -> DataFrame:
-    """Fixed-width degree histogram (goldenkg_v1_stats.csv shape)."""
-    deg = node_degrees(edges)
+    """Fixed-width degree histogram (goldenkg_v1_stats.csv shape).
+
+    The degree table feeds two actions (bounds collect + binning), so it is
+    persisted across them and released once the small binned result is
+    materialized — without this the full edge scan + salted aggregation ran
+    twice per histogram.
+    """
+    from pyspark import StorageLevel
+
+    deg = node_degrees(edges).persist(StorageLevel.MEMORY_AND_DISK)
     bounds = deg.agg(
         F.min("degree").alias("lo"), F.max("degree").alias("hi")
     ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
     width = max((hi - lo) / n_bins, 1e-9) if hi is not None else 1.0
-    return (
+    hist = (
         deg.withColumn(
             "bin",
             F.least(F.floor((F.col("degree") - F.lit(lo)) / F.lit(width)), F.lit(n_bins - 1)),
@@ -78,6 +89,9 @@ def degree_histogram(edges: DataFrame, n_bins: int = 200) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("node_count"))
         .orderBy("bin")
     )
+    hist = hist.localCheckpoint(eager=True)  # small (≤ n_bins rows)
+    deg.unpersist()
+    return hist
 
 
 def degree_summary(edges: DataFrame) -> DataFrame:

@@ -66,9 +66,11 @@ def extract_gene_study_chr(
 
     fallback = F.concat(F.lit("ENTREZ:"), F.col("entrez_gene_id").cast("string"))
     if gene_symbols is not None:
+        # deterministic symbol per entrez id (a re-materialized symbol table
+        # may carry synonyms; subset-key dropDuplicates would keep an
+        # arbitrary one)
         gmap = F.broadcast(
-            gene_symbols.select("entrez_gene_id", F.col("symbol").alias("_symbol"))
-            .dropDuplicates(["entrez_gene_id"])
+            gene_symbols.groupBy("entrez_gene_id").agg(F.min("symbol").alias("_symbol"))
         )
         records = triples.join(gmap, "entrez_gene_id", "left").select(
             "entrez_gene_id",

@@ -89,21 +89,15 @@ def dedup_nodes(nodes: DataFrame) -> DataFrame:
     """Writer-side node dedup (KGXFileWriter semantics, order-independent).
 
     The reference writer keeps the FIRST record per id (input-order
-    dependent); we keep a deterministic representative: the first non-null
-    name by (name asc), union of categories, first non-null properties.
-    Hash aggregate with map-side combine — one shuffle on id.
+    dependent); we keep a deterministic representative. Delegates to
+    operators.merge.merge_nodes so the writer path and the merge path CANNOT
+    diverge (they previously disagreed on empty-string names: min('name')
+    let '' beat a real name; merge_nodes picks the shortest NON-EMPTY name
+    and unions properties per-key deterministically).
     """
-    return (
-        nodes.groupBy("id")
-        .agg(
-            F.min("name").alias("name"),
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list("category")))
-            ).alias("category"),
-            F.first("properties", ignorenulls=True).alias("properties"),
-        )
-        .select(*NODE_COLS)
-    )
+    from ..operators.merge import merge_nodes  # local import: merge imports this module
+
+    return merge_nodes(nodes)
 
 
 def write_kgx_jsonl(nodes: DataFrame, edges: DataFrame, nodes_path: str, edges_path: str) -> None:

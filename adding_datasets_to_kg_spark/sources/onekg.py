@@ -20,16 +20,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
 from ..functions.curie import GENE, SEQUENCE_VARIANT, consequence_predicate, curie, format_hgvsg
 from .kgx import conform_edges, conform_nodes
 
 INFORES = "infores:1000genomes"
 POPULATIONS = ("AFR", "AMR", "EAS", "EUR", "SAS")
 
+# Explicit schema of the VEP fields the converter consumes. Inference would
+# (a) cost an extra full scan and (b) CRASH on shards where no sampled
+# record carries hgvsg/spdi — the inferred struct then lacks the field and
+# tc['spdi'] fails analysis instead of yielding null/skip like the
+# reference's per-record loop (convert_data.py:93). Same reasoning as
+# kgx.read_kgx_jsonl's explicit schema.
+VEP_SCHEMA = StructType(
+    [
+        StructField("input", StringType(), True),
+        StructField("most_severe_consequence", StringType(), True),
+        StructField(
+            "transcript_consequences",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("hgvsg", StringType(), True),
+                        StructField("spdi", StringType(), True),
+                        StructField("gene_id", StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
 
 def read_vep_jsonl(spark: SparkSession, path: str) -> DataFrame:
-    """S3: line-delimited VEP JSON scan (convert_data.py:87-90)."""
-    return spark.read.json(path)
+    """S3: line-delimited VEP JSON scan (convert_data.py:87-90), explicit
+    schema — extra JSON fields are ignored, absent fields read as null."""
+    return spark.read.schema(VEP_SCHEMA).json(path)
 
 
 def onekg_to_kgx(df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -50,8 +79,12 @@ def onekg_to_kgx(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     first_tc = F.try_element_at(F.col("transcript_consequences"), F.lit(1))
 
     # F7: kv-blob → map (convert_data.py:97-110). The frequency blob is the
-    # last whitespace field of the raw VCF line.
-    freq_blob = F.element_at(F.split(F.col("input"), r"\s+"), -1)
+    # last whitespace field of the raw VCF line. Empty fields are dropped
+    # first: Spark's split keeps a trailing '' on lines with trailing
+    # whitespace (Python's .split() — the reference — does not).
+    freq_blob = F.element_at(
+        F.filter(F.split(F.col("input"), r"\s+"), lambda t: t != ""), -1
+    )
     freq_map = F.str_to_map(freq_blob, F.lit(";"), F.lit("="))
 
     src = has_tc.select(
