@@ -33,13 +33,16 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     builder = SparkSession.builder.appName(app_name)
-    # Under spark-submit the master (and cluster sizing) comes from the
-    # launcher; only fall back to local[N] when none was provided, so the
-    # same code path serves pytest/bench (local) and cluster deployments.
-    from pyspark import SparkConf
-
-    if not SparkConf().contains("spark.master"):
-        builder = builder.master(f"local[{cpus}]")
+    # Under spark-submit the master comes from the launcher and must not be
+    # overridden. Detection: spark-submit runs python apps through
+    # PythonRunner, which exports PYSPARK_GATEWAY_PORT/SECRET for the
+    # already-running JVM gateway (that JVM carries --master). Probing
+    # SparkConf() here would NOT work — before a SparkContext exists it is
+    # an empty dict and contains("spark.master") is always False, which
+    # would force local[N] onto cluster submissions.
+    launched_by_spark_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if not launched_by_spark_submit:
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
     builder = (
         builder
         # --- adaptive execution: runtime re-planning + skew defense ---

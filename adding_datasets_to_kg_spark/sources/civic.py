@@ -48,7 +48,13 @@ def civic_to_kgx(civic: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
     variant_nodes = (
-        src.filter(_nonempty("variant_id") & ~F.col("variant_name").contains("unrecognized"))
+        # coalesce: csv reads empty fields as NULL, and ~NULL.contains(...)
+        # is NULL (row silently dropped) — the reference's DictReader sees ""
+        # and keeps the row (convert_data.py:28), name written as ""
+        src.filter(
+            _nonempty("variant_id")
+            & ~F.coalesce(F.col("variant_name"), F.lit("")).contains("unrecognized")
+        )
         .select(
             F.col("variant_id").alias("id"),
             F.col("variant_name").alias("name"),

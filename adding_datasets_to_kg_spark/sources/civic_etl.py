@@ -31,11 +31,16 @@ from ..functions.text import COMBO_SEP_REGEX, canon_token, canonical_set_key
 
 def parse_list_like(col: Column) -> Column:
     """'[12, 13]' → array; fallback: comma-split; empty/'nan' → empty array
-    (extract_civic_data.py:16-28)."""
+    (extract_civic_data.py:16-28). The fallback strips quotes as well as
+    brackets: Python-repr lists like "['12', '13']" are single-quoted, which
+    from_json rejects (invalid JSON) but the reference's ast.literal_eval
+    accepts — without the quote strip every id in such rows parsed to NULL."""
     s = F.trim(col.cast("string"))
     parsed = F.from_json(s, "array<string>")
     fallback = F.filter(
-        F.transform(F.split(s, ","), lambda x: F.trim(F.regexp_replace(x, r"[\[\]]", ""))),
+        F.transform(
+            F.split(s, ","), lambda x: F.trim(F.regexp_replace(x, r"""[\[\]'"]""", ""))
+        ),
         lambda x: x != "",
     )
     return F.when(
@@ -142,17 +147,20 @@ def extract_civic_bigfile(
 
 def combo_tokens(col: Column) -> Column:
     """Multi-separator combo split → canonical tokens, empties dropped
-    (map_therapy_id_revised.py:15-49). Split runs on the RAW string (the
+    (map_therapy_id_revised.py:15-49). Parentheticals are stripped from the
+    WHOLE string before the split (reference split_tokens_primary:26 does
+    the same) — a separator inside '(CDDP, Platinol)' must not fabricate a
+    bogus combo; the split then runs on that pre-stripped string (the
     canonicalizer would erase '/', '+', '&' before the split could see
-    them — reference splits first, then canonicalizes each token); single-
-    token combos fall back to a hyphen split (:36-39)."""
+    them); single-token combos fall back to a hyphen split (:36-39)."""
     def canon_all(parts: Column) -> Column:
         # 1-arg lambda required: passing canon_token directly would make
         # F.transform feed the element INDEX into its second parameter
         return F.filter(F.transform(parts, lambda t: canon_token(t)), lambda t: t != "")
 
-    primary = canon_all(F.split(col, COMBO_SEP_REGEX))
-    hyphen = canon_all(F.split(col, r"\s*[-–—]\s*"))
+    deparen = F.regexp_replace(col, r"\([^)]*\)", "")
+    primary = canon_all(F.split(deparen, COMBO_SEP_REGEX))
+    hyphen = canon_all(F.split(deparen, r"\s*[-–—]\s*"))
     return F.when(F.size(primary) >= 2, primary).otherwise(
         F.when(F.size(hyphen) >= 2, hyphen).otherwise(primary)
     )

@@ -87,15 +87,21 @@ def main() -> None:
     _force(warm_out["nodes"])
     spark.catalog.clearCache()
 
+    from pyspark import StorageLevel
+
+    actual_turns = (PIPELINE_TURNS // 20) * 20  # generator emits whole conversations
     transcripts = generate_transcripts_distributed(spark, PIPELINE_TURNS // 20, 20)
-    transcripts.write.format("noop").mode("overwrite").save()  # materialize input
+    # persist + count actually PINS the input (a noop write executes and
+    # discards — the timed run would silently regenerate)
+    transcripts = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
+    transcripts.count()
     t0 = time.time()
     out = run_pipeline(transcripts, lex, compute_metadata=False)
     _force(out["edges"])
     _force(out["nodes"])
     pipeline_sec = round(time.time() - t0, 3)
     timings["kg_pipeline_e2e"] = pipeline_sec
-    turns_per_sec = round(PIPELINE_TURNS / pipeline_sec, 1)
+    turns_per_sec = round(actual_turns / pipeline_sec, 1)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(
@@ -106,7 +112,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "pipeline_turns": PIPELINE_TURNS,
+                "pipeline_turns": actual_turns,
                 "pipeline_turns_per_sec": turns_per_sec,
                 "cpus": CPUS,
             }

@@ -49,7 +49,8 @@ def run_child(cpus: int, n_turns: int) -> None:
         id_equivalences=id_equivalences_df(spark),
         predicate_map=predicate_map_df(spark),
     )
-    def one_run(n: int) -> float:
+    def one_run(n: int) -> tuple[float, int]:
+        actual = (n // 20) * 20  # generator emits whole conversations
         transcripts = generate_transcripts_distributed(spark, n // 20, 20)
         t0 = time.time()
         out = run_pipeline(transcripts, lex, compute_metadata=False)
@@ -57,18 +58,20 @@ def run_child(cpus: int, n_turns: int) -> None:
         out["nodes"].write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
         spark.catalog.clearCache()
-        return wall
+        return wall, actual
 
     # Warm-up at 1/8 scale: compiles/JITs every plan in the job once, so the
     # measured runs reflect steady-state cluster behavior, not first-run
     # codegen latency (which is constant and serial, and on this noisy
     # sandbox swamps the scaling signal at small N).
     one_run(max(n_turns // 8, 20_000))
-    walls = [one_run(n_turns) for _ in range(REPS)]
+    runs = [one_run(n_turns) for _ in range(REPS)]
+    walls = [w for w, _ in runs]
+    actual_turns = runs[0][1]
     best = min(walls)
     print(json.dumps({"cpus": cpus, "wall_sec": round(best, 2),
                       "all_walls": [round(w, 2) for w in walls],
-                      "turns_per_sec": round(n_turns / best, 1)}))
+                      "turns_per_sec": round(actual_turns / best, 1)}))
     spark.stop()
 
 
@@ -81,10 +84,16 @@ def main() -> None:
     for cpus in (8, 32):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(n_turns)],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
         )
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if proc.returncode != 0 or not json_lines:
+            # surface the child's actual failure, not a bare exit code
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling child (cpus={cpus}) failed with code {proc.returncode}"
+            )
+        results[cpus] = json.loads(json_lines[-1])
     eff = results[32]["turns_per_sec"] / (4 * results[8]["turns_per_sec"])
     print(json.dumps({
         "metric": "scaling_efficiency_8_to_32_cores",

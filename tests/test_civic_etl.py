@@ -128,3 +128,30 @@ def test_therapy_stopwords_and_single_agent_map(spark, raw):
     assert out["Tamoxifen"] == "C855"
     # order-insensitive combo key still wins for real combos
     assert out["Cisplatin with Tamoxifen"] == "C9999"
+
+
+def test_parenthetical_stripped_before_combo_split(spark):
+    """map_therapy_id_revised.py:26 parity: '(CDDP, Platinol)' must not
+    fabricate a combo — parentheticals are removed before the separator
+    split sees their commas."""
+    tmap = spark.createDataFrame([("Cisplatin", "C376")], "therapy string, ncit_id string")
+    bigfile = spark.createDataFrame(
+        [("Cisplatin (CDDP, Platinol)",)], "therapy string"
+    )
+    out = enrich_therapy_ids(bigfile, tmap).collect()
+    assert out[0]["ncit_ids"] == "C376"
+
+
+def test_parse_list_like_python_repr_quotes(spark):
+    """extract_civic_data.py:16-28 parity: ast.literal_eval accepts
+    Python-repr lists ("['12', '13']"); the Spark fallback must strip the
+    single quotes, not leave ids that fail numeric coercion."""
+    from adding_datasets_to_kg_spark.sources.civic_etl import parse_list_like
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("['12', '13']",), ('["7", "8"]',), ("[1, 2]",), ("9",), (None,)],
+        "v string",
+    )
+    rows = df.select(parse_list_like(F.col("v")).alias("p")).collect()
+    assert [r.p for r in rows] == [["12", "13"], ["7", "8"], ["1", "2"], ["9"], []]
