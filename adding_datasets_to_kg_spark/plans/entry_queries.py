@@ -1214,25 +1214,16 @@ def q_sim_bruteforce(spark, sf_dir):
     return df.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "cos")
 
 
-@query("sim_topk_ivf")  # approximate; non-SQL-expressible concisely → rows-only check
-def q_sim_ivf(spark, sf_dir):
-    """IVF-bucketed ANN: probe the 4 nearest of 16 cells (scale path).
-    Rows-only here, but the underlying index math IS hash-checked — see
-    sim_ivf_cells."""
-    embs = _t(spark, sf_dir, "embeddings")
-    queries = embs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
-    df = topk_ivf(embs, queries, k=3, n_cells=16, n_probe=4)
-    return df.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "cos")
-
-
 _IVF_COS = (
     "list_dot_product(c.v, ct.centroid) / "
     "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ct.centroid, ct.centroid)))"
 )
 
-@query(
-    "sim_ivf_cells",
-    f"""
+# The deterministic IVF index build (seed centroids = 16 lowest-id vectors,
+# ONE unrolled Lloyd iteration, final nearest-centroid assignment) as a CTE
+# prefix shared by the sim_ivf_cells and sim_topk_ivf oracles — one source of
+# truth, so the two oracles cannot drift from each other.
+_IVF_INDEX_CTES = f"""
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cent0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, v AS centroid
@@ -1260,12 +1251,66 @@ _IVF_COS = (
     cent1 AS (
       SELECT c0.cell_id, COALESCE(ma.mcent, c0.centroid) AS centroid
       FROM cent0 c0 LEFT JOIN means_agg ma USING (cell_id)
+    ),
+    assign1 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY {_IVF_COS} DESC, ct.cell_id ASC) AS r
+        FROM c CROSS JOIN cent1 ct
+      ) WHERE r = 1
+    )"""
+
+
+@query(
+    "sim_topk_ivf",
+    f"""{_IVF_INDEX_CTES},
+    q AS (SELECT vec_id AS query_id, v FROM c WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.query_id, ct.cell_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.v, ct.centroid) /
+                          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(ct.centroid, ct.centroid))) DESC,
+                          ct.cell_id ASC
+               ) AS r
+        FROM q CROSS JOIN cent1 ct
+      ) WHERE r <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 3) AS cos
+      FROM probes p
+      JOIN q ON q.query_id = p.query_id
+      JOIN assign1 a ON a.cell_id = p.cell_id
+      JOIN c ON c.vec_id = a.vec_id
+      WHERE c.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
     )
-    SELECT vec_id, cell_id FROM (
-      SELECT c.vec_id, ct.cell_id,
-             row_number() OVER (PARTITION BY c.vec_id ORDER BY {_IVF_COS} DESC, ct.cell_id ASC) AS r
-      FROM c CROSS JOIN cent1 ct
-    ) WHERE r = 1
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos FROM ranked WHERE rank <= 3
+    """,
+)
+def q_sim_ivf(spark, sf_dir):
+    """IVF-bucketed ANN: probe the 4 nearest of 16 cells (scale path).
+
+    Hash-checked end-to-end: the oracle unrolls the deterministic index build
+    (shared _IVF_INDEX_CTES — same text as sim_ivf_cells) plus the probe
+    selection (top-4 cells per query, cell_id tiebreak) and the final ranked
+    top-k with (cos DESC, neighbor_id ASC) tiebreak — every stage of
+    operators.similarity.topk_ivf reproduced in SQL."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    df = topk_ivf(embs, queries, k=3, n_cells=16, n_probe=4)
+    return df.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "cos")
+
+@query(
+    "sim_ivf_cells",
+    f"""{_IVF_INDEX_CTES}
+    SELECT vec_id, cell_id FROM assign1
     """,
 )
 def q_sim_ivf_cells(spark, sf_dir):
