@@ -5,13 +5,13 @@ so the candidate-generation step is an equi-join (shuffle on a small key),
 never an O(n²) cross join:
 
 - exact            — hash-groupBy on md5(text); one shuffle.
-- minhash LSH      — shingle → single-pass per-seed min-hash fold → band
-                     signature → bucket equi-join; only same-band pairs meet.
-- simhash          — 64-bit sign-sum fingerprint from token hashes, split
-                     into 4×16-bit bands; candidates share ≥1 band (banded
-                     Hamming join — Hamming ≤ 3 is guaranteed caught), then
-                     exact Hamming recheck. 16-bit variant kept as the
-                     fingerprint expression (dedup_simhash_fingerprint entry).
+- minhash LSH      — shingle rows → per-seed md5 → groupBy-MIN signature →
+                     band keys → bucket equi-join; only same-band pairs meet.
+- simhash          — 64-bit sign-sum fingerprint from token hashes;
+                     candidates via Manku-style 3-of-6 block-combination
+                     tables (complete for Hamming ≤ 3), then exact Hamming
+                     recheck. 16-bit variant kept as the fingerprint
+                     expression (dedup_simhash_fingerprint entry).
 - n-gram Jaccard   — inverted index on shingles (explode → join on shingle)
                      with a document-frequency cutoff (hot boilerplate
                      shingles never enter the posting-list join);
@@ -28,7 +28,12 @@ embedded as literals in both the Spark plan and the generated oracle SQL.
 
 Scale notes: every candidate self-join materializes its small key table
 (``localCheckpoint``) first, so the signature subtree is computed exactly
-once — not re-evaluated on both join sides (the round-1 10× recompute trap).
+once — not re-evaluated on both join sides (the round-1 10× recompute
+trap). Hot-path expressions avoid higher-order functions (``transform`` /
+``aggregate`` lambdas evaluate INTERPRETED — no whole-stage codegen):
+signatures and fingerprints use the explode → codegen'd hash-aggregate
+shape, and vector math uses the unrolled codegen'd forms in
+functions.vectors.
 """
 
 from __future__ import annotations
@@ -39,7 +44,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
-from ..functions.vectors import as_double, cosine, dot
+from ..functions.vectors import as_double, cosine_unrolled, dot_literal
+
+
+def shingle_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 shingle_n: int = 3) -> DataFrame:
+    """(id, s) — one row per DISTINCT word-n-gram shingle of each document.
+
+    Two projections, deliberately: the token array is materialized as a
+    column first, then the per-shingle slice/join runs over that attribute.
+    Building shingles directly from ``shingles(text_col)`` re-evaluates the
+    whole ``tokens()`` regex-split subtree once PER SHINGLE ELEMENT inside
+    the interpreted HOF lambda (lambda bodies reference the token-array
+    expression, not a materialized value) — quadratic in document length;
+    measured 3.2 s vs 0.4 s for the sf0.1 corpus explode. CollapseProject
+    keeps the projections separate because ``_toks`` is referenced more
+    than once.
+
+    Semantics match ``explode(array_distinct(shingles(text, n)))``:
+    documents with < n tokens yield their whole text as one shingle, so no
+    document is dropped by the explode.
+    """
+    d = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    arr = F.when(
+        F.size("_toks") < shingle_n, F.array(F.array_join("_toks", " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("_toks") - shingle_n, F.lit(0))),
+            lambda i: F.array_join(F.slice("_toks", i + 1, shingle_n), " "),
+        )
+    )
+    return d.select(F.col(id_col), F.explode(F.array_distinct(arr)).alias("s"))
 
 
 # --- exact -----------------------------------------------------------------
@@ -78,20 +113,46 @@ def minhash_signature(doc_shingles: Column, n_hashes: int) -> Column:
     )
 
 
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """(id, h0..h{n-1}) — per-seed min hashes via the explode → codegen'd
+    hash-aggregate shape: explode distinct shingles to rows, compute the
+    n_hashes seeded md5s per shingle in one codegen'd projection, then
+    groupBy(id) with n_hashes MIN aggregates. Same values as
+    :func:`minhash_signature` (min over distinct = min over all), but every
+    operator is whole-stage-codegen'd — the HOF fold formulation evaluates
+    interpreted (HOFs don't codegen) and measured ~4× slower at sf0.1. The
+    map-side partial MIN reduces the exchange to n_hashes strings per doc.
+
+    ``shingles`` is never empty (< n tokens → one whole-text shingle), so
+    the explode drops no documents.
+    """
+    sh = shingle_rows(docs, text_col, id_col, shingle_n)
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"seed{i}:"), F.col("s"))).alias(f"_m{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"_m{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+
+
 def minhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n_hashes: int = 8, band_size: int = 2, shingle_n: int = 3) -> DataFrame:
     """(id, band_idx, band_key) — LSH banding; same band_key → candidate."""
-    sig = minhash_signature(shingles(text_col, shingle_n), n_hashes)
     n_bands = n_hashes // band_size
-    d = docs.select(F.col(id_col), sig.alias("_sig"))
-    bands = d.select(
+    sig = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n)
+    bands = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.concat_ws("|", *[F.element_at("_sig", b * band_size + j + 1)
+                        F.concat_ws("|", *[F.col(f"h{b * band_size + j}")
                                            for j in range(band_size)]).alias("band_key"),
                     )
                     for b in range(n_bands)
@@ -165,30 +226,34 @@ def simhash16(text_col: Column) -> Column:
 
 def simhash16_fingerprints(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash int) — simhash16 values via the two-projection shape
-    (per-token md5 materialized once, then 16 per-bit folds over the stored
-    hashes; see simhash64_fingerprints for why this beats inlining the md5
-    subtree into every fold ~4×). Values are bit-identical to
-    ``simhash16(col)``."""
-    hashed = docs.select(
-        F.col(id_col), F.transform(tokens(text_col), F.md5).alias("_h")
+    """(id, simhash int) — simhash16 values via the explode → codegen'd
+    hash-aggregate shape (see simhash64_fingerprints for why this beats
+    interpreted HOF folds ~10×): per token, the 4 relevant md5 hex nibbles
+    pack into one 16-bit long via ``conv`` (nibble i at bits 4*(3-i)), then
+    groupBy(id) with 16 SUM(±1) aggregates of pure shift/and arithmetic.
+    Values are bit-identical to ``simhash16(col)``; token-less docs keep
+    simhash 0 via explode_outer + NULL sums."""
+    packed = docs.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("_t")
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("_t"), 1, 4), 16, 10).cast("long").alias("_n"),
     )
-    def merger(nib: int, bit: int):
-        def merge(acc, m):
-            return acc + F.when(
-                F.shiftright(_nibble_val(F.substring(m, nib + 1, 1)), bit)
-                .bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
 
-        return merge
-
+    counted = packed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("_n"), 4 * (3 - j // 4) + j % 4)
+                .bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+            ).alias(f"c{j}")
+            for j in range(16)
+        ]
+    )
     total = None
     for j in range(16):
-        contrib = F.aggregate(F.col("_h"), F.lit(0), merger(j // 4, j % 4))
-        term = F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(F.col(f"c{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         total = term if total is None else total + term
-    return hashed.select(id_col, total.cast("int").alias("simhash"))
+    return counted.select(id_col, total.cast("int").alias("simhash"))
 
 
 def simhash16_sql(text_expr: str) -> str:
@@ -219,41 +284,56 @@ def simhash64_fingerprints(docs: DataFrame, text_col: str = "text",
     bit (j mod 4) of md5-hex nibble (j div 4) — the simhash16 formula
     extended to nibbles 0..15.
 
-    Two-projection shape, deliberately: the first select materializes the
-    per-token md5 array ONCE; the second runs the 64 per-bit folds over the
-    stored hash strings. Folding everything into one projection re-inlines
-    the md5 subtree into all 64 folds (64 md5s per token — measured 4×
-    slower at sf0.1); a 64-wide array-accumulator fold is worse still
-    (per-token array allocation, measured 6× slower).
+    Explode → codegen'd hash-aggregate shape, deliberately: higher-order
+    ``F.aggregate`` folds are evaluated INTERPRETED (HOFs don't participate
+    in whole-stage codegen), so 64 per-bit array folds cost µs-per-element —
+    measured ~3.4 s for 5k docs at sf0.1. Instead: explode tokens to rows,
+    pack each token's first 16 md5 hex nibbles into TWO 32-bit longs via
+    ``conv`` (hex char p of substring(1,8) is nibble p-1, so nibble i sits
+    at bits 4*(7-i)..4*(7-i)+3 of the first long; nibbles 8-15 likewise in
+    the second), then groupBy(id) with 64 SUM(±1) aggregates of pure
+    shift/and arithmetic — every operator whole-stage-codegen'd. The
+    map-side partial aggregation reduces the exchange to 64 ints per doc,
+    so the one shuffle this adds is ~300 bytes/doc regardless of text size.
+    Measured ~10× over the fold formulation (3.4 s → 0.35 s warm at sf0.1).
+
+    ``explode_outer`` + SUM-over-NULL keeps token-less docs: their counters
+    aggregate to NULL, NULL > 0 is false, so every bit is 0 — identical to
+    the fold's empty-array result (bands all 0).
 
     Scale: 2^64 fingerprint space never saturates (vs 65,536 buckets for the
     16-bit variant, which at 100 TB puts millions of docs per bucket and the
     pair join goes quadratic — the round-1 weakness this replaces).
     """
-    hashed = docs.select(
-        F.col(id_col), F.transform(tokens(text_col), F.md5).alias("_h")
+    toks = docs.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("_t")
+    ).select(F.col(id_col), F.md5("_t").alias("_m"))
+    packed = toks.select(
+        F.col(id_col),
+        F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("_n0"),  # nibbles 0-7
+        F.conv(F.substring("_m", 9, 8), 16, 10).cast("long").alias("_n1"),  # nibbles 8-15
     )
 
     def counter(j: int) -> Column:
         nib, bit = j // 4, j % 4
-        return F.aggregate(
-            F.col("_h"),
-            F.lit(0),
-            lambda acc, m: acc + F.when(
-                F.shiftright(_nibble_val(F.substring(m, nib + 1, 1)), bit)
-                .bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
+        src = "_n0" if nib < 8 else "_n1"
+        shift = 4 * (7 - nib % 8) + bit
+        return F.sum(
+            F.shiftright(F.col(src), shift).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
         )
 
+    counted = packed.groupBy(id_col).agg(
+        *[counter(j).alias(f"c{j}") for j in range(SIMHASH_BITS)]
+    )
     band_cols = []
     for b in range(SIMHASH_BANDS):
         band = None
         for k in range(SIMHASH_BAND_BITS):
-            term = F.when(counter(b * SIMHASH_BAND_BITS + k) > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            j = b * SIMHASH_BAND_BITS + k
+            term = F.when(F.col(f"c{j}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
             band = term if band is None else band + term
         band_cols.append(band.alias(f"b{b}"))
-    return hashed.select(id_col, *band_cols)
+    return counted.select(id_col, *band_cols)
 
 
 def simhash64_band_sql(toks_expr: str, band: int) -> str:
@@ -272,36 +352,98 @@ def simhash64_band_sql(toks_expr: str, band: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# Manku/Jain/Das Sarma-style (WWW'07, "Detecting Near-Duplicates for Web
+# Crawling" — public) block-combination candidate tables: split the 64-bit
+# fingerprint into 6 blocks; a pair at Hamming ≤ 3 differs in ≤ 3 blocks, so
+# it AGREES on at least one 3-of-6 combination → probe C(6,3)=20 tables
+# keyed by ~32 concatenated bits. Key space 2^32 (vs 2^16 for naive 4×16
+# banding, whose buckets saturate at ~10^8 docs: corpus/2^16 docs per bucket
+# → quadratic pair blowup; measured at sf0.1 the naive scheme produced 188k
+# candidates for 4.5k true pairs — 40× false-candidate overhead from random
+# 16-bit collisions alone).
+SIMHASH_BLOCK_BOUNDS = [(0, 11), (11, 22), (22, 33), (33, 44), (44, 54), (54, 64)]
+SIMHASH_BLOCK_COMBOS = [
+    (i, j, k)
+    for i in range(6) for j in range(i + 1, 6) for k in range(j + 1, 6)
+]  # 20 combos, deterministic order
+
+
+def _simhash_block(band_vals, lo: int, hi: int):
+    """Bits [lo, hi) of the 64-bit fingerprint, assembled from the 4×16-bit
+    band values (bit j of the fingerprint = bit j-16*band of band j//16).
+    Works over Spark Columns; mirrored textually by simhash64_block_sql."""
+    acc = None
+    shift_acc = 0
+    for band in range(SIMHASH_BANDS):
+        blo = band * SIMHASH_BAND_BITS
+        s, e = max(lo, blo), min(hi, blo + SIMHASH_BAND_BITS)
+        if s >= e:
+            continue
+        piece = (
+            F.shiftright(band_vals[band], s - blo)
+            .bitwiseAND(F.lit((1 << (e - s)) - 1))
+        )
+        term = piece * F.lit(1 << shift_acc)
+        acc = term if acc is None else acc + term
+        shift_acc += e - s
+    return acc
+
+
+def simhash64_block_sql(lo: int, hi: int, col_prefix: str = "b") -> str:
+    """DuckDB SQL for bits [lo, hi) of the fingerprint over columns b0..b3 —
+    the identical assembly as :func:`_simhash_block`."""
+    terms = []
+    shift_acc = 0
+    for band in range(SIMHASH_BANDS):
+        blo = band * SIMHASH_BAND_BITS
+        s, e = max(lo, blo), min(hi, blo + SIMHASH_BAND_BITS)
+        if s >= e:
+            continue
+        mask = (1 << (e - s)) - 1
+        terms.append(f"((({col_prefix}{band} >> {s - blo}) & {mask}) * {1 << shift_acc})")
+        shift_acc += e - s
+    return "(" + " + ".join(terms) + ")"
+
+
 def dedup_simhash64(docs: DataFrame, max_hamming: int = 6,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by 64-bit simhash banded Hamming join.
+    """Near-dup pairs by 64-bit simhash block-combination Hamming join.
 
-    Candidates share ≥1 of 4 16-bit bands (guaranteed complete for Hamming
-    ≤ 3 by pigeonhole; high-recall beyond), then an exact Hamming recheck
-    over the full fingerprint keeps pairs with distance ≤ max_hamming.
+    Candidates agree on all 3 blocks of ≥1 of the 20 3-of-6 block
+    combinations (guaranteed complete for Hamming ≤ 3 by pigeonhole;
+    high-recall beyond), then an exact Hamming recheck over the full
+    fingerprint keeps pairs with distance ≤ max_hamming.
     Output: (id_a, id_b, hamming).
 
     Scale shape: fingerprint table materialized once (localCheckpoint),
-    band equi-join on (band_idx, band_val) — the per-bucket population is
-    corpus_size / 2^16 per band on random text, and near-dup clusters are
-    small; no cross join anywhere.
+    candidate equi-join on (table_idx, 3-block key) — ~32-bit key space
+    puts corpus_size / 2^32 docs per bucket (the naive 16-bit banding this
+    replaces saturates its 2^16 buckets around 10^8 docs); near-dup clusters
+    are small; no cross join anywhere.
     """
     fp = simhash64_fingerprints(docs, text_col, id_col).localCheckpoint(eager=True)
+    band_vals = [F.col(f"b{i}") for i in range(SIMHASH_BANDS)]
+    blocks = [_simhash_block(band_vals, lo, hi) for lo, hi in SIMHASH_BLOCK_BOUNDS]
     exploded = fp.select(
         id_col,
         F.explode(
             F.array(*[
-                F.struct(F.lit(i).alias("band_idx"), F.col(f"b{i}").alias("band_val"))
-                for i in range(SIMHASH_BANDS)
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    F.concat_ws(
+                        "|", *[blocks[b].cast("string") for b in combo]
+                    ).alias("key"),
+                )
+                for t, combo in enumerate(SIMHASH_BLOCK_COMBOS)
             ])
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_val")
+        ).alias("c"),
+    ).select(id_col, "c.tbl", "c.key")
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -379,9 +521,7 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.8,
     shingles are treated like stopwords, deterministically on both the Spark
     and oracle sides.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s")
-    )
+    sh = shingle_rows(docs, text_col, id_col, shingle_n)
     if max_df is not None:
         hot = (
             sh.groupBy("s")
@@ -463,8 +603,8 @@ def embedding_lsh_pairs(embs: DataFrame, threshold: float = 0.95,
     d = embs.select(F.col(id_col), as_double(vec_col).alias("v"))
 
     def bit(p: int) -> Column:
-        plane = F.array(*[F.lit(x) for x in planes[p]])
-        return F.when(dot(F.col("v"), plane) > 0, F.lit("1")).otherwise(F.lit("0"))
+        # codegen'd literal-weight dot — the HOF dot() evaluates interpreted
+        return F.when(dot_literal(F.col("v"), planes[p]) > 0, F.lit("1")).otherwise(F.lit("0"))
 
     band_keys = [
         F.concat(*[bit(b * band_planes + k) for k in range(band_planes)])
@@ -496,7 +636,7 @@ def embedding_lsh_pairs(embs: DataFrame, threshold: float = 0.95,
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 3))
+        .withColumn("cos", F.round(cosine_unrolled(F.col("va"), F.col("vb"), dim), 3))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -575,7 +715,7 @@ def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.95,
         pairs.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 3).alias("cos"),
+            F.round(cosine_unrolled(F.col("a.v"), F.col("b.v")), 3).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, dot
+from ..functions.vectors import as_double, cosine_unrolled
 
 
 def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -31,7 +31,7 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 3).alias("cos"),
+        F.round(cosine_unrolled(F.col("qv"), F.col("cv")), 3).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -47,7 +47,7 @@ def _assign_cells(c: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     scored = c.join(F.broadcast(centroids)).select(
         id_col,
         "cell_id",
-        cosine(F.col("v"), F.col("centroid")).alias("sim"),
+        cosine_unrolled(F.col("v"), F.col("centroid")).alias("sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell_id").asc())
     return scored.withColumn("r", F.row_number().over(w)).filter("r = 1").select(id_col, "cell_id")
@@ -132,7 +132,7 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 1
 
     q = queries.select(F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     q_scored = q.join(F.broadcast(centroids)).select(
-        "query_id", "qv", "cell_id", cosine(F.col("qv"), F.col("centroid")).alias("sim")
+        "query_id", "qv", "cell_id", cosine_unrolled(F.col("qv"), F.col("centroid")).alias("sim")
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell_id").asc())
     probes = (
@@ -143,7 +143,7 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 1
     scored = probes.join(c, "cell_id").filter(F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 3).alias("cos"),
+        F.round(cosine_unrolled(F.col("qv"), F.col("cv")), 3).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (

@@ -39,9 +39,12 @@ from ..operators.dedup import (
     dedup_simhash64,
     dedup_survivors,
     embedding_lsh_sql,
+    SIMHASH_BLOCK_BOUNDS,
+    SIMHASH_BLOCK_COMBOS,
     simhash16_fingerprints,
     simhash16_sql,
     simhash64_band_sql,
+    simhash64_block_sql,
 )
 from ..operators.merge import merge_nodes
 from ..operators.multimodal import attach_media, extract_features, resize_images, sample_frames
@@ -1149,6 +1152,17 @@ def q_dedup_embedding(spark, sf_dir):
 
 _SIMHASH64_TOKS = _sql_toks("text")
 
+_SIMHASH64_BLOCK_COLS = ", ".join(
+    f"{simhash64_block_sql(lo, hi)} AS k{i}"
+    for i, (lo, hi) in enumerate(SIMHASH_BLOCK_BOUNDS)
+)
+_SIMHASH64_TABLES = " UNION ALL ".join(
+    f"SELECT doc_id, {t} AS tbl, "
+    + " || '|' || ".join(f"CAST(k{b} AS VARCHAR)" for b in combo)
+    + " AS key FROM blocks"
+    for t, combo in enumerate(SIMHASH_BLOCK_COMBOS)
+)
+
 @query(
     "dedup_simhash64",
     f"""
@@ -1158,13 +1172,16 @@ _SIMHASH64_TOKS = _sql_toks("text")
              {', '.join(f"{simhash64_band_sql('toks', b)} AS b{b}" for b in range(4))}
       FROM t
     ),
-    bands AS (
-      {' UNION ALL '.join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_val FROM fp" for b in range(4))}
+    blocks AS (
+      SELECT doc_id, {_SIMHASH64_BLOCK_COLS} FROM fp
+    ),
+    tables AS (
+      {_SIMHASH64_TABLES}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      FROM tables a JOIN tables b
+        ON a.tbl = b.tbl AND a.key = b.key AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, hamming FROM (
       SELECT id_a, id_b,
@@ -1174,9 +1191,11 @@ _SIMHASH64_TOKS = _sql_toks("text")
     """,
 )
 def q_dedup_simhash64(spark, sf_dir):
-    """64-bit simhash banded Hamming join (4×16-bit bands, exact Hamming
-    recheck ≤ 6) — replaces the saturating 16-bit pair join; the oracle
-    regenerates the identical fingerprint formula as SQL."""
+    """64-bit simhash near-dup pairs: Manku-style 3-of-6 block-combination
+    candidate tables (C(6,3)=20 equi-join keys of ~32 bits — complete for
+    Hamming ≤ 3, and the key space does not saturate at web scale) + exact
+    Hamming recheck ≤ 6; the oracle regenerates the identical fingerprint,
+    block assembly, and table construction as SQL."""
     return dedup_simhash64(_t(spark, sf_dir, "documents"), max_hamming=6)
 
 

@@ -60,7 +60,21 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- per-operator headline queries (registry order) ---
+    # Each query is warmed once at sf0.001 before the timed sf0.1 run — the
+    # same steady-state protocol as the pipeline bench below: the cold first
+    # execution pays one-time whole-stage-codegen compilation (janino) and
+    # JIT, which on the wide dedup plans is several seconds of constant
+    # serial cost that a long-running cluster amortizes to zero. Plan shapes
+    # are scale-independent, so the warm-up compiles the same generated code
+    # the timed run uses.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    do_warm = os.path.abspath(warm_dir) != os.path.abspath(SF_DIR)
     for name, fn in queries().items():
+        if do_warm:
+            try:
+                _force(fn(spark, warm_dir))
+            except Exception:  # noqa: BLE001 — warm-up failure surfaces in the timed run
+                pass
         t0 = time.time()
         try:
             _force(fn(spark, SF_DIR))

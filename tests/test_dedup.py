@@ -4,8 +4,9 @@
   recall accounting at the registered threshold (sf0.001);
 - hot-shingle document-frequency cutoff actually caps posting lists under
   boilerplate skew (the 100 TB defense);
-- 64-bit simhash banded join: complete for Hamming ≤ 3 (pigeonhole over
-  4×16-bit bands) and sound vs a driver-side brute-force recheck;
+- 64-bit simhash block-combination join: complete for Hamming ≤ 3
+  (pigeonhole over 3-of-6 block tables) and sound vs a driver-side
+  brute-force recheck;
 - single-pass minhash fold == per-seed array_min definition.
 """
 
@@ -16,6 +17,8 @@ from pyspark.sql import functions as F
 
 from adding_datasets_to_kg_spark.functions.text import shingles
 from adding_datasets_to_kg_spark.operators.dedup import (
+    SIMHASH_BLOCK_BOUNDS,
+    SIMHASH_BLOCK_COMBOS,
     dedup_embedding_cosine,
     dedup_ngram_jaccard,
     dedup_simhash64,
@@ -111,14 +114,22 @@ def test_simhash64_banded_join_complete_and_sound(spark):
     def hamming(a, b):
         return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
 
+    def blocks(bands):
+        f = bands[0] | bands[1] << 16 | bands[2] << 32 | bands[3] << 48
+        return [(f >> lo) & ((1 << (hi - lo)) - 1) for lo, hi in SIMHASH_BLOCK_BOUNDS]
+
     for ia, ib in itertools.combinations(sorted(fps), 2):
         h = hamming(fps[ia], fps[ib])
-        shares_band = any(fps[ia][k] == fps[ib][k] for k in range(4))
+        ba, bb = blocks(fps[ia]), blocks(fps[ib])
+        shares_combo = any(
+            all(ba[b] == bb[b] for b in combo) for combo in SIMHASH_BLOCK_COMBOS
+        )
         if h <= 3:
-            # pigeonhole: ≤3 differing bits cannot touch all 4 bands
+            # pigeonhole: ≤3 differing bits touch ≤3 of the 6 blocks, so
+            # some 3-of-6 combination is untouched → pair is a candidate
             assert (ia, ib) in out and out[(ia, ib)] == h
         if (ia, ib) in out:
-            assert h <= 6 and shares_band
+            assert h <= 6 and shares_combo
             assert out[(ia, ib)] == h
 
 

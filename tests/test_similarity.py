@@ -48,3 +48,31 @@ def test_refined_centroids_deterministic(spark):
     r1 = {r.cell_id: r.centroid for r in c1.collect()}
     r2 = {r.cell_id: r.centroid for r in c2.collect()}
     assert r1 == r2
+
+
+def test_unrolled_vector_math_bit_identical_to_hof(spark):
+    """dot_unrolled/cosine_unrolled are codegen'd reformulations of the HOF
+    dot/cosine — same element-order summation, so the doubles must be
+    BIT-identical (the DuckDB oracles depend on it)."""
+    from adding_datasets_to_kg_spark.functions.vectors import (
+        as_double, cosine, cosine_unrolled, dot, dot_literal,
+    )
+    from adding_datasets_to_kg_spark.operators.dedup import hyperplane_signs
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = embs.select("vec_id", as_double("embedding").alias("v"))
+    a = d.alias("a").join(d.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+    both = a.select(
+        cosine(F.col("a.v"), F.col("b.v")).alias("hof"),
+        cosine_unrolled(F.col("a.v"), F.col("b.v")).alias("unrolled"),
+    )
+    assert both.filter("hof <> unrolled").count() == 0
+
+    plane = hyperplane_signs(1, 64)[0]
+    lit = F.array(*[F.lit(x) for x in plane])
+    pd_ = d.select(
+        dot(F.col("v"), lit).alias("hof"),
+        dot_literal(F.col("v"), plane).alias("unrolled"),
+    )
+    assert pd_.filter("hof <> unrolled").count() == 0
