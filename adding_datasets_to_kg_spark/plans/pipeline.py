@@ -152,10 +152,14 @@ def emit_triples(linked: DataFrame, lex: Lexicons) -> DataFrame:
 
 
 def build_nodes_for_edges(edges: DataFrame, lex: Lexicons) -> DataFrame:
-    """Node records for every edge endpoint, typed by CURIE prefix."""
+    """Node records for every edge endpoint, typed by CURIE prefix.
+
+    Endpoint ids come from ONE pass over the edge table
+    (explode([subject, object])) rather than a two-select union — edges is
+    the pipeline's largest cached table and every scan of it is paid twice
+    under the union shape."""
     ids = (
-        edges.select(F.col("subject").alias("id"))
-        .unionByName(edges.select(F.col("object").alias("id")))
+        edges.select(F.explode(F.array("subject", "object")).alias("id"))
         .distinct()
     )
     category = (
@@ -286,7 +290,12 @@ def run_pipeline(
     linked.count()
     edges = emit_triples(linked, lex).persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()  # same reasoning: node-build + canonicalize + export fan out
-    nodes = build_nodes_for_edges(edges, lex)
+    # Pre-canonicalize nodes have two full executions otherwise: once pulled
+    # through normalization_map's CC materialization, once again when the
+    # final nodes plan is forced. Narrow (id, name, category) rows → persist
+    # is bounded and spills, never recomputes.
+    nodes = build_nodes_for_edges(edges, lex).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
     nodes, edges, norm_map, failures = canonicalize_graph(nodes, edges, lex)
     nodes = merge_nodes(nodes)
     edges = dedup_edges(edges)
