@@ -48,9 +48,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def dot_unrolled(a: Column, b: Column, dim: int = 64) -> Column:
-    """Codegen'd dot product for statically-known dimension (see module
-    docstring: bit-identical to ``dot`` and ~µs-per-element faster)."""
+def _dim_guard(result: Column, dim: int, *vecs: Column) -> Column:
+    """Fail LOUDLY when a vector's length differs from the static ``dim``:
+    without this, a longer vector is silently truncated to its first ``dim``
+    elements (shorter ones already throw under ANSI ``element_at``). The
+    ``when`` guard evaluates the unrolled sum only on well-shaped rows; the
+    two ``size`` probes are noise next to the 64-term sum."""
+    ok = None
+    for v in vecs:
+        c = F.size(v) == dim
+        ok = c if ok is None else ok & c
+    return F.when(ok, result).otherwise(
+        F.raise_error(F.lit(f"unrolled vector math requires dimension {dim}"))
+    )
+
+
+def _dot_terms(a: Column, b: Column, dim: int) -> Column:
     total = None
     for i in range(1, dim + 1):
         term = F.element_at(a, i) * F.element_at(b, i)
@@ -58,20 +71,30 @@ def dot_unrolled(a: Column, b: Column, dim: int = 64) -> Column:
     return total
 
 
+def dot_unrolled(a: Column, b: Column, dim: int = 64) -> Column:
+    """Codegen'd dot product for statically-known dimension (see module
+    docstring: bit-identical to ``dot`` and ~µs-per-element faster).
+    Raises at execution on any row whose vectors are not ``dim``-long."""
+    return _dim_guard(_dot_terms(a, b, dim), dim, a, b)
+
+
 def dot_literal(v: Column, weights: list[float]) -> Column:
     """Codegen'd dot of a vector column with a DRIVER-SIDE literal weight
     vector (e.g. an LSH hyperplane): Σ v[i] * w_i in element order —
-    identical values to ``dot(v, F.array(*literals))``."""
+    identical values to ``dot(v, F.array(*literals))``. Raises at execution
+    on any row whose vector is not ``len(weights)``-long."""
     total = None
     for i, w in enumerate(weights):
         term = F.element_at(v, i + 1) * F.lit(float(w))
         total = term if total is None else total + term
-    return total
+    return _dim_guard(total, len(weights), v)
 
 
 def cosine_unrolled(a: Column, b: Column, dim: int = 64) -> Column:
     """Codegen'd cosine for statically-known dimension — bit-identical to
-    ``cosine`` (same element-order summation in all three dots)."""
-    return dot_unrolled(a, b, dim) / (
-        F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim))
+    ``cosine`` (same element-order summation in all three dots). One shared
+    dimension guard wraps the whole expression (raises on malformed rows)."""
+    raw = _dot_terms(a, b, dim) / (
+        F.sqrt(_dot_terms(a, a, dim)) * F.sqrt(_dot_terms(b, b, dim))
     )
+    return _dim_guard(raw, dim, a, b)

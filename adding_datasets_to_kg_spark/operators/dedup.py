@@ -43,7 +43,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokens
+from ..functions.text import tokens
 from ..functions.vectors import as_double, cosine_unrolled, dot_literal
 
 
@@ -690,7 +690,7 @@ def embedding_lsh_sql(threshold: float, n_bands: int = 4, band_planes: int = 4,
 
 def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.95,
                            vec_col: str = "embedding", id_col: str = "vec_id",
-                           n_planes: int = 16) -> DataFrame:
+                           n_planes: int = 16, dim: int = 64) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold. APPROXIMATE by default: the
     default n_planes=16 runs banded LSH, which recalls ~all pairs at
     dedup-grade thresholds (cos ≥ 0.95) but only a fraction of borderline
@@ -706,7 +706,7 @@ def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.95,
         n_bands = 4 if n_planes % 4 == 0 else 1
         return embedding_lsh_pairs(
             embs, threshold, vec_col, id_col,
-            n_bands=n_bands, band_planes=n_planes // n_bands,
+            n_bands=n_bands, band_planes=n_planes // n_bands, dim=dim,
         )
     d = embs.select(F.col(id_col), as_double(vec_col).alias("v"))
     a, b = d.alias("a"), d.alias("b")
@@ -715,7 +715,7 @@ def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.95,
         pairs.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine_unrolled(F.col("a.v"), F.col("b.v")), 3).alias("cos"),
+            F.round(cosine_unrolled(F.col("a.v"), F.col("b.v"), dim), 3).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

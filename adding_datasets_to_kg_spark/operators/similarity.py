@@ -22,7 +22,7 @@ from ..functions.vectors import as_double, cosine_unrolled
 
 def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    query_id_col: str = "query_id") -> DataFrame:
+                    query_id_col: str = "query_id", dim: int = 64) -> DataFrame:
     """Exact top-k by cosine: broadcast queries × corpus, window row_number
     per query ordered by (rounded score desc, neighbor id asc) — fully
     deterministic. Output: (query_id, neighbor_id, rank, cos)."""
@@ -31,7 +31,7 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_unrolled(F.col("qv"), F.col("cv")), 3).alias("cos"),
+        F.round(cosine_unrolled(F.col("qv"), F.col("cv"), dim), 3).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -41,20 +41,20 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def _assign_cells(c: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+def _assign_cells(c: DataFrame, centroids: DataFrame, id_col: str, dim: int = 64) -> DataFrame:
     """Nearest-centroid assignment: corpus × broadcast centroids (narrow),
     top-1 per id with deterministic tiebreak."""
     scored = c.join(F.broadcast(centroids)).select(
         id_col,
         "cell_id",
-        cosine_unrolled(F.col("v"), F.col("centroid")).alias("sim"),
+        cosine_unrolled(F.col("v"), F.col("centroid"), dim).alias("sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell_id").asc())
     return scored.withColumn("r", F.row_number().over(w)).filter("r = 1").select(id_col, "cell_id")
 
 
 def refine_centroids(c: DataFrame, centroids: DataFrame, n_iters: int = 1,
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id", dim: int = 64) -> DataFrame:
     """Lloyd iterations as a DataFrame program: assign → per-cell mean.
 
     The mean is computed dimension-wise via posexplode → groupBy(cell, dim)
@@ -66,7 +66,7 @@ def refine_centroids(c: DataFrame, centroids: DataFrame, n_iters: int = 1,
     plans O(1) deep.
     """
     for _ in range(n_iters):
-        assign = _assign_cells(c, centroids, id_col)
+        assign = _assign_cells(c, centroids, id_col, dim)
         dims = c.join(assign, id_col).select(
             "cell_id", F.posexplode("v").alias("dim", "x")
         )
@@ -92,7 +92,7 @@ def refine_centroids(c: DataFrame, centroids: DataFrame, n_iters: int = 1,
 
 def build_ivf_cells(corpus: DataFrame, n_cells: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    refine_iters: int = 1) -> tuple[DataFrame, DataFrame]:
+                    refine_iters: int = 1, dim: int = 64) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF index: seed centroids = the n_cells corpus vectors
     with the lowest ids, then ``refine_iters`` Lloyd iterations
     (:func:`refine_centroids`) — deterministic k-means, no RNG, so the index
@@ -110,14 +110,15 @@ def build_ivf_cells(corpus: DataFrame, n_cells: int = 16,
     )
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
     if refine_iters > 0:
-        centroids = refine_centroids(c, centroids, refine_iters, id_col)
-    assignments = _assign_cells(c, centroids, id_col)
+        centroids = refine_centroids(c, centroids, refine_iters, id_col, dim)
+    assignments = _assign_cells(c, centroids, id_col, dim)
     return assignments, centroids
 
 
 def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
              n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id", refine_iters: int = 1) -> DataFrame:
+             query_id_col: str = "query_id", refine_iters: int = 1,
+             dim: int = 64) -> DataFrame:
     """IVF-bucketed approximate top-k: probe the n_probe nearest cells only.
 
     Scale shape: corpus scored once against n_cells broadcast centroids
@@ -126,13 +127,13 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 1
     (``refine_iters`` Lloyd steps) — the recall@k ≥ 0.9 gate lives in
     tests/test_similarity.py.
     """
-    assignments, centroids = build_ivf_cells(corpus, n_cells, id_col, vec_col, refine_iters)
+    assignments, centroids = build_ivf_cells(corpus, n_cells, id_col, vec_col, refine_iters, dim)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
     c = c.join(assignments.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
 
     q = queries.select(F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     q_scored = q.join(F.broadcast(centroids)).select(
-        "query_id", "qv", "cell_id", cosine_unrolled(F.col("qv"), F.col("centroid")).alias("sim")
+        "query_id", "qv", "cell_id", cosine_unrolled(F.col("qv"), F.col("centroid"), dim).alias("sim")
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell_id").asc())
     probes = (
@@ -143,7 +144,7 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 1
     scored = probes.join(c, "cell_id").filter(F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_unrolled(F.col("qv"), F.col("cv")), 3).alias("cos"),
+        F.round(cosine_unrolled(F.col("qv"), F.col("cv"), dim), 3).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (

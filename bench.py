@@ -73,8 +73,10 @@ def main() -> None:
         if do_warm:
             try:
                 _force(fn(spark, warm_dir))
-            except Exception:  # noqa: BLE001 — warm-up failure surfaces in the timed run
-                pass
+            except Exception as exc:  # noqa: BLE001
+                # LOUD: a silently-failed warm-up (missing warm dir, typo'd
+                # SPARK_GRAFT_WARM_DIR) would publish cold timings as warm
+                print(f"[bench] WARN warm-up failed for {name}: {exc}", file=sys.stderr)
         t0 = time.time()
         try:
             _force(fn(spark, SF_DIR))

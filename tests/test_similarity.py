@@ -67,7 +67,10 @@ def test_unrolled_vector_math_bit_identical_to_hof(spark):
         cosine(F.col("a.v"), F.col("b.v")).alias("hof"),
         cosine_unrolled(F.col("a.v"), F.col("b.v")).alias("unrolled"),
     )
-    assert both.filter("hof <> unrolled").count() == 0
+    # null-safe inequality: plain <> filters out NULL comparisons, which is
+    # exactly the failure mode a broken unrolled sum would have
+    assert both.count() > 0
+    assert both.filter(~F.col("hof").eqNullSafe(F.col("unrolled"))).count() == 0
 
     plane = hyperplane_signs(1, 64)[0]
     lit = F.array(*[F.lit(x) for x in plane])
@@ -75,4 +78,19 @@ def test_unrolled_vector_math_bit_identical_to_hof(spark):
         dot(F.col("v"), lit).alias("hof"),
         dot_literal(F.col("v"), plane).alias("unrolled"),
     )
-    assert pd_.filter("hof <> unrolled").count() == 0
+    assert pd_.count() > 0
+    assert pd_.filter(~F.col("hof").eqNullSafe(F.col("unrolled"))).count() == 0
+
+
+def test_unrolled_vector_math_rejects_wrong_dimension(spark):
+    """dot/cosine_unrolled must fail loudly — not silently truncate — when a
+    vector's length differs from the static dim."""
+    import pytest
+    from adding_datasets_to_kg_spark.functions.vectors import cosine_unrolled
+    from pyspark.sql import functions as F
+
+    rows = [(1, [1.0] * 128), (2, [2.0] * 128)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    pair = df.alias("a").join(df.alias("b"), F.col("a.id") < F.col("b.id"))
+    with pytest.raises(Exception, match="dimension 64"):
+        pair.select(cosine_unrolled(F.col("a.v"), F.col("b.v")).alias("c")).collect()
