@@ -48,53 +48,65 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def _dim_guard(result: Column, dim: int, *vecs: Column) -> Column:
-    """Fail LOUDLY when a vector's length differs from the static ``dim``:
-    without this, a longer vector is silently truncated to its first ``dim``
-    elements (shorter ones already throw under ANSI ``element_at``). The
-    ``when`` guard evaluates the unrolled sum only on well-shaped rows; the
-    two ``size`` probes are noise next to the 64-term sum."""
-    ok = None
-    for v in vecs:
-        c = F.size(v) == dim
-        ok = c if ok is None else ok & c
-    return F.when(ok, result).otherwise(
-        F.raise_error(F.lit(f"unrolled vector math requires dimension {dim}"))
+def _guard_sql(result_sql: str, dim: int, *vec_names: str) -> str:
+    ok = " AND ".join(f"size({v}) = {dim}" for v in vec_names)
+    return (
+        f"CASE WHEN {ok} THEN {result_sql} "
+        f"ELSE raise_error('unrolled vector math requires dimension {dim}') END"
     )
 
 
-def _dot_terms(a: Column, b: Column, dim: int) -> Column:
-    total = None
-    for i in range(1, dim + 1):
-        term = F.element_at(a, i) * F.element_at(b, i)
-        total = term if total is None else total + term
-    return total
+def _dot_terms_sql(a: str, b: str, dim: int) -> str:
+    return "(" + " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
+    ) + ")"
 
 
-def dot_unrolled(a: Column, b: Column, dim: int = 64) -> Column:
+def dot_unrolled(a: str, b: str, dim: int = 64) -> Column:
     """Codegen'd dot product for statically-known dimension (see module
     docstring: bit-identical to ``dot`` and ~µs-per-element faster).
-    Raises at execution on any row whose vectors are not ``dim``-long."""
-    return _dim_guard(_dot_terms(a, b, dim), dim, a, b)
+    Raises at execution on any row whose vectors are not ``dim``-long.
+
+    Takes column NAMES and builds the whole sum as one ``F.expr`` parse:
+    composing 64 terms through the Column API costs ~4 py4j round-trips per
+    term — measured 3-4 s of pure DRIVER latency per plan construction for
+    the 16-plane LSH tree, repeated on every query invocation. String
+    building is free and the parsed tree is identical."""
+    return F.expr(_guard_sql(_dot_terms_sql(a, b, dim), dim, a, b))
 
 
-def dot_literal(v: Column, weights: list[float]) -> Column:
-    """Codegen'd dot of a vector column with a DRIVER-SIDE literal weight
-    vector (e.g. an LSH hyperplane): Σ v[i] * w_i in element order —
-    identical values to ``dot(v, F.array(*literals))``. Raises at execution
-    on any row whose vector is not ``len(weights)``-long."""
-    total = None
-    for i, w in enumerate(weights):
-        term = F.element_at(v, i + 1) * F.lit(float(w))
-        total = term if total is None else total + term
-    return _dim_guard(total, len(weights), v)
+def dot_literal(v: str, weights: list[float]) -> Column:
+    """Codegen'd dot of a vector column (by NAME) with a DRIVER-SIDE literal
+    weight vector (e.g. an LSH hyperplane): Σ v[i] * w_i in element order —
+    identical values to ``dot(col(v), F.array(*literals))``. Raises at
+    execution on any row whose vector is not ``len(weights)``-long. One
+    ``F.expr`` parse (see dot_unrolled on why not the Column API); the ``D``
+    suffix keeps the literals DOUBLE (a bare ``1.0`` parses as DECIMAL)."""
+    body = "(" + " + ".join(
+        f"element_at({v}, {i + 1}) * {float(w)}D" for i, w in enumerate(weights)
+    ) + ")"
+    return F.expr(_guard_sql(body, len(weights), v))
 
 
-def cosine_unrolled(a: Column, b: Column, dim: int = 64) -> Column:
-    """Codegen'd cosine for statically-known dimension — bit-identical to
-    ``cosine`` (same element-order summation in all three dots). One shared
-    dimension guard wraps the whole expression (raises on malformed rows)."""
-    raw = _dot_terms(a, b, dim) / (
-        F.sqrt(_dot_terms(a, a, dim)) * F.sqrt(_dot_terms(b, b, dim))
+def norm_unrolled(a: str, dim: int = 64) -> Column:
+    """Codegen'd L2 norm — ``sqrt(dot_unrolled(a, a))`` by column NAME.
+    Compute this ON THE SMALL SIDE of a candidate join (per vector, not per
+    pair): the full per-pair ``cosine_unrolled`` carries 3×``dim`` sum
+    terms, which both triples the work and pushes the generated method past
+    the JIT-friendly size; ``dot_unrolled(a, b) / (na * nb)`` with
+    pre-joined norms is bit-identical (identical ops in identical order —
+    the denominator was always sqrt(aa)*sqrt(bb) left-to-right) at a third
+    of the per-pair cost."""
+    return F.expr(_guard_sql(f"sqrt({_dot_terms_sql(a, a, dim)})", dim, a))
+
+
+def cosine_unrolled(a: str, b: str, dim: int = 64) -> Column:
+    """Codegen'd cosine for statically-known dimension, by column NAMES —
+    bit-identical to ``cosine`` (same element-order summation in all three
+    dots). One shared dimension guard wraps the whole expression (raises on
+    malformed rows); one ``F.expr`` parse (see dot_unrolled)."""
+    raw = (
+        f"{_dot_terms_sql(a, b, dim)} / "
+        f"(sqrt({_dot_terms_sql(a, a, dim)}) * sqrt({_dot_terms_sql(b, b, dim)}))"
     )
-    return _dim_guard(raw, dim, a, b)
+    return F.expr(_guard_sql(raw, dim, a, b))

@@ -44,7 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from ..functions.vectors import as_double, cosine_unrolled, dot_literal
+from ..functions.vectors import as_double, dot_literal, dot_unrolled, norm_unrolled
 
 
 def shingle_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -604,7 +604,7 @@ def embedding_lsh_pairs(embs: DataFrame, threshold: float = 0.95,
 
     def bit(p: int) -> Column:
         # codegen'd literal-weight dot — the HOF dot() evaluates interpreted
-        return F.when(dot_literal(F.col("v"), planes[p]) > 0, F.lit("1")).otherwise(F.lit("0"))
+        return F.when(dot_literal("v", planes[p]) > 0, F.lit("1")).otherwise(F.lit("0"))
 
     band_keys = [
         F.concat(*[bit(b * band_planes + k) for k in range(band_planes)])
@@ -619,7 +619,14 @@ def embedding_lsh_pairs(embs: DataFrame, threshold: float = 0.95,
             ])
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
-    bands = bands.localCheckpoint(eager=True)
+    # no_wholestage_codegen: the 16×64-term plane-dot projection exceeds
+    # janino's 64 KB method limit — the doomed compile attempt costs seconds
+    # PER INVOCATION (failures are not cached) before the engine falls back
+    # to interpreted eval anyway; skipping the attempt is strictly faster
+    from ..session import no_wholestage_codegen
+
+    with no_wholestage_codegen(embs.sparkSession):
+        bands = bands.localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -631,15 +638,40 @@ def embedding_lsh_pairs(embs: DataFrame, threshold: float = 0.95,
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    va = d.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = d.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    return (
+    # norms computed per VECTOR on the join build sides, not per candidate
+    # pair — bit-identical cosine (see norm_unrolled) at 1/3 the per-pair
+    # expression size
+    va = d.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                  norm_unrolled("v", dim).alias("na"))
+    vb = d.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                  norm_unrolled("v", dim).alias("nb"))
+    scored = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", F.round(cosine_unrolled(F.col("va"), F.col("vb"), dim), 3))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_unrolled("va", "vb", dim)
+                / (F.col("na") * F.col("nb")),
+                3,
+            ).alias("cos"),
+        )
     )
+    # Materialize the scored candidates BEFORE the threshold filter: with
+    # the filter in the same plan, PushPredicateThroughJoin inlines the
+    # whole 64-term dot into the join CONDITION and the projection evaluates
+    # it a second time — and at this expression width the stage falls out of
+    # whole-stage codegen, so the double interpreted evaluation dominates
+    # (measured up to 4× on the sf0.1 recheck). The scored table is
+    # candidate-scale (3 narrow columns), which the LSH pruning already
+    # bounds — the same linearity argument as the band table checkpoint.
+    # no_wholestage_codegen: same doomed-compile story as the band table.
+    from ..session import no_wholestage_codegen
+
+    with no_wholestage_codegen(embs.sparkSession):
+        scored = scored.localCheckpoint(eager=True)
+    return scored.filter(F.col("cos") >= threshold)
 
 
 def embedding_lsh_sql(threshold: float, n_bands: int = 4, band_planes: int = 4,
@@ -708,14 +740,20 @@ def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.95,
             embs, threshold, vec_col, id_col,
             n_bands=n_bands, band_planes=n_planes // n_bands, dim=dim,
         )
-    d = embs.select(F.col(id_col), as_double(vec_col).alias("v"))
+    d = embs.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("n", norm_unrolled("v", dim))
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     return (
         pairs.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine_unrolled(F.col("a.v"), F.col("b.v"), dim), 3).alias("cos"),
+            F.round(
+                dot_unrolled("a.v", "b.v", dim)
+                / (F.col("a.n") * F.col("b.n")),
+                3,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine_unrolled
+from ..functions.vectors import as_double, dot_unrolled, norm_unrolled
 
 
 def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -25,13 +25,24 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     query_id_col: str = "query_id", dim: int = 64) -> DataFrame:
     """Exact top-k by cosine: broadcast queries × corpus, window row_number
     per query ordered by (rounded score desc, neighbor id asc) — fully
-    deterministic. Output: (query_id, neighbor_id, rank, cos)."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    deterministic. Output: (query_id, neighbor_id, rank, cos).
+
+    Norms are computed per VECTOR before the join, so the per-pair work is
+    one unrolled dot — bit-identical cosine (see norm_unrolled) at a third
+    of the per-pair expression size."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("ncv", norm_unrolled("cv", dim))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("nqv", norm_unrolled("qv", dim))
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_unrolled(F.col("qv"), F.col("cv"), dim), 3).alias("cos"),
+        F.round(
+            dot_unrolled("qv", "cv", dim) / (F.col("nqv") * F.col("ncv")),
+            3,
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -43,11 +54,17 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def _assign_cells(c: DataFrame, centroids: DataFrame, id_col: str, dim: int = 64) -> DataFrame:
     """Nearest-centroid assignment: corpus × broadcast centroids (narrow),
-    top-1 per id with deterministic tiebreak."""
-    scored = c.join(F.broadcast(centroids)).select(
+    top-1 per id with deterministic tiebreak. Norms pre-joined per side
+    (bit-identical cosine, 1/3 the per-pair terms)."""
+    cn = c.withColumn("_vn", norm_unrolled("v", dim))
+    cents = centroids.withColumn("_cn", norm_unrolled("centroid", dim))
+    scored = cn.join(F.broadcast(cents)).select(
         id_col,
         "cell_id",
-        cosine_unrolled(F.col("v"), F.col("centroid"), dim).alias("sim"),
+        (
+            dot_unrolled("v", "centroid", dim)
+            / (F.col("_vn") * F.col("_cn"))
+        ).alias("sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell_id").asc())
     return scored.withColumn("r", F.row_number().over(w)).filter("r = 1").select(id_col, "cell_id")
@@ -79,14 +96,20 @@ def refine_centroids(c: DataFrame, centroids: DataFrame, n_iters: int = 1,
                 ).alias("new_centroid")
             )
         )
-        centroids = (
-            centroids.join(new_centroids, "cell_id", "left")
-            .select(
-                "cell_id",
-                F.coalesce("new_centroid", "centroid").alias("centroid"),
+        # no_wholestage_codegen: the assignment plan embeds the 64-term
+        # unrolled dots, whose generated method exceeds janino's 64 KB limit
+        # — skip the doomed per-iteration compile attempt (see session.py)
+        from ..session import no_wholestage_codegen
+
+        with no_wholestage_codegen(c.sparkSession):
+            centroids = (
+                centroids.join(new_centroids, "cell_id", "left")
+                .select(
+                    "cell_id",
+                    F.coalesce("new_centroid", "centroid").alias("centroid"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
     return centroids
 
 
@@ -128,23 +151,35 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 1
     tests/test_similarity.py.
     """
     assignments, centroids = build_ivf_cells(corpus, n_cells, id_col, vec_col, refine_iters, dim)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("ncv", norm_unrolled("cv", dim))
     c = c.join(assignments.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
 
-    q = queries.select(F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    q_scored = q.join(F.broadcast(centroids)).select(
-        "query_id", "qv", "cell_id", cosine_unrolled(F.col("qv"), F.col("centroid"), dim).alias("sim")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("nqv", norm_unrolled("qv", dim))
+    cents = centroids.withColumn("_cn", norm_unrolled("centroid", dim))
+    q_scored = q.join(F.broadcast(cents)).select(
+        "query_id", "qv", "nqv", "cell_id",
+        (
+            dot_unrolled("qv", "centroid", dim)
+            / (F.col("nqv") * F.col("_cn"))
+        ).alias("sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell_id").asc())
     probes = (
         q_scored.withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= n_probe)
-        .select("query_id", "qv", "cell_id")
+        .select("query_id", "qv", "nqv", "cell_id")
     )
     scored = probes.join(c, "cell_id").filter(F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_unrolled(F.col("qv"), F.col("cv"), dim), 3).alias("cos"),
+        F.round(
+            dot_unrolled("qv", "cv", dim) / (F.col("nqv") * F.col("ncv")),
+            3,
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (

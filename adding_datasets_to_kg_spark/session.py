@@ -15,10 +15,29 @@ Design notes (scale-first):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+@contextmanager
+def no_wholestage_codegen(spark: SparkSession):
+    """Execute a plan with whole-stage codegen off — for WIDE-expression
+    plans (unrolled 64-term vector math) whose generated consume method
+    exceeds janino's 64 KB limit: the compile attempt fails AFTER several
+    seconds, the failure is not cached (Guava cache caches successes only),
+    so every invocation re-pays it before falling back to interpreted
+    evaluation anyway. Measured 13 s → 2.5 s on the sf0.1 embedding-LSH
+    materialization. Session-scoped conf flip — callers use it only around
+    eager materializations (localCheckpoint), never across a lazy return."""
+    prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
 
 
 def get_spark(

@@ -65,7 +65,7 @@ def test_unrolled_vector_math_bit_identical_to_hof(spark):
     a = d.alias("a").join(d.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id"))
     both = a.select(
         cosine(F.col("a.v"), F.col("b.v")).alias("hof"),
-        cosine_unrolled(F.col("a.v"), F.col("b.v")).alias("unrolled"),
+        cosine_unrolled("a.v", "b.v").alias("unrolled"),
     )
     # null-safe inequality: plain <> filters out NULL comparisons, which is
     # exactly the failure mode a broken unrolled sum would have
@@ -76,7 +76,7 @@ def test_unrolled_vector_math_bit_identical_to_hof(spark):
     lit = F.array(*[F.lit(x) for x in plane])
     pd_ = d.select(
         dot(F.col("v"), lit).alias("hof"),
-        dot_literal(F.col("v"), plane).alias("unrolled"),
+        dot_literal("v", plane).alias("unrolled"),
     )
     assert pd_.count() > 0
     assert pd_.filter(~F.col("hof").eqNullSafe(F.col("unrolled"))).count() == 0
@@ -93,4 +93,4 @@ def test_unrolled_vector_math_rejects_wrong_dimension(spark):
     df = spark.createDataFrame(rows, "id long, v array<double>")
     pair = df.alias("a").join(df.alias("b"), F.col("a.id") < F.col("b.id"))
     with pytest.raises(Exception, match="dimension 64"):
-        pair.select(cosine_unrolled(F.col("a.v"), F.col("b.v")).alias("c")).collect()
+        pair.select(cosine_unrolled("a.v", "b.v").alias("c")).collect()
