@@ -61,10 +61,14 @@ def turn_uri(conv_id: F.Column, turn_idx: F.Column) -> F.Column:
 def emit_mention_triples(linked: DataFrame) -> DataFrame:
     """turn-mentions-entity triples, one per linked mention occurrence.
 
-    NOT deduped here: each emit family's (subject, predicate, object) key
-    space is disjoint (distinct predicates), so the pipeline dedups ONCE
-    after the union — one shuffle instead of one per family (stage-count
-    matters: the e2e job was stage-latency-bound, not CPU-bound)."""
+    NOT deduped here — and not in the pipeline either: when ``linked`` is
+    distinct on (conv_id, turn_idx, entity_id) (the pipeline guarantees it),
+    the (TURN:conv#turn, mentions, entity) key is unique by construction.
+    This family is the bulk of the triple stream (one row per mention
+    occurrence, corpus-proportional), so exempting it from the post-union
+    dedup removes the largest all-unique-keys shuffle in the job; the other
+    families (corpus-many rows collapsing to dictionary-few triples) keep
+    their dedup, where partial aggregation actually reduces data."""
     return conform_edges(
         linked.select(
             turn_uri(F.col("conv_id"), F.col("turn_idx")).alias("subject"),

@@ -93,6 +93,39 @@ def merge_nodes(nodes: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> D
     return final.withColumn("properties", merged_props).select(*NODE_COLS)
 
 
+def merge_nodes_targeted(
+    nodes: DataFrame,
+    maybe_dup_ids: DataFrame,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Node merge restricted to ids that CAN collide.
+
+    Precondition: every row whose id is NOT in ``maybe_dup_ids`` is already
+    unique in ``nodes``. That holds for the pipeline by construction —
+    ``build_nodes_for_edges`` emits one row per distinct endpoint id, so
+    after canonicalization the only ids that can appear twice are the
+    canonical targets of the norm map (two raw ids collapsing onto one
+    canonical id, or a raw id colliding with an untouched node that already
+    carries the canonical id). ``maybe_dup_ids`` = the norm map's
+    canonical_id column covers both cases.
+
+    Why it exists: the full ``merge_nodes`` pays two shuffles plus
+    collect_list/array aggregation over EVERY node — at 32M turns that is
+    tens of millions of per-turn TURN: nodes that can never merge with
+    anything. The collide-set is dictionary-sized (it comes from the
+    id-equivalence lexicon), so the split is a broadcast semi/anti join (no
+    shuffle on the big side) and the aggregate runs over thousands of rows
+    instead of tens of millions. Measured on the e2e bench: the node
+    merge+write phase dropped from ~157 s to seconds at 32M turns.
+    """
+    ids = F.broadcast(maybe_dup_ids.select("id").distinct())
+    to_merge = nodes.join(ids, "id", "left_semi")
+    untouched = nodes.join(ids, "id", "left_anti")
+    return merge_nodes(to_merge, salt_buckets).unionByName(
+        untouched.select(*NODE_COLS)
+    )
+
+
 def dedup_edges(edges: DataFrame) -> DataFrame:
     """Exact-key edge dedup on (subject, predicate, object, source).
 
@@ -103,6 +136,55 @@ def dedup_edges(edges: DataFrame) -> DataFrame:
     return edges.dropDuplicates(
         ["subject", "predicate", "object", "primary_knowledge_source"]
     )
+
+
+def dedup_edges_targeted(
+    edges: DataFrame,
+    maybe_dup_endpoints: DataFrame,
+    ambiguous_predicates: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Post-canonicalization edge dedup restricted to edges that CAN collide.
+
+    Precondition: ``edges`` was unique on (subject, predicate, object)
+    BEFORE endpoint remap / predicate normalization (the pipeline's emit
+    stage guarantees it). A remap can only create a duplicate pair if some
+    component changed — and a changed endpoint is by definition a canonical
+    id, a changed predicate by definition a normalization target. The
+    matching component of the OTHER edge in the pair then carries the same
+    (canonical / target) value, so BOTH colliding edges satisfy:
+    subject ∈ canonical ids ∨ object ∈ canonical ids ∨ predicate ambiguous.
+    Edges outside that set are still pairwise-distinct and bypass the
+    shuffle.
+
+    ``ambiguous_predicates`` must list the post-normalization predicate
+    values with ≥ 2 pre-images over the OBSERVED predicate universe
+    (an unmapped predicate is its own pre-image) — the caller computes it
+    from the predicate map plus a cheap distinct over the low-cardinality
+    predicate column. An injective-on-observed map yields the empty list.
+
+    Scale: canonical-id membership is two broadcast joins (no shuffle on the
+    big side); the dedup aggregate then moves only the collision-capable
+    subset — the edges touching equivalence-clique entities — instead of the
+    full corpus-proportional triple stream.
+    """
+    cap_s = F.broadcast(
+        maybe_dup_endpoints.select(F.col("id").alias("subject"))
+        .distinct()
+        .withColumn("_cap_s", F.lit(True))
+    )
+    cap_o = F.broadcast(
+        maybe_dup_endpoints.select(F.col("id").alias("object"))
+        .distinct()
+        .withColumn("_cap_o", F.lit(True))
+    )
+    flagged = edges.join(cap_s, "subject", "left").join(cap_o, "object", "left")
+    cap = F.coalesce("_cap_s", F.lit(False)) | F.coalesce("_cap_o", F.lit(False))
+    if ambiguous_predicates:
+        cap = cap | F.col("predicate").isin(list(ambiguous_predicates))
+    flagged = flagged.withColumn("_cap", cap).drop("_cap_s", "_cap_o")
+    capable = dedup_edges(flagged.filter(F.col("_cap")).drop("_cap"))
+    rest = flagged.filter(~F.col("_cap")).drop("_cap")
+    return capable.unionByName(rest).select(*edges.columns)
 
 
 def merge_graphs(

@@ -39,7 +39,12 @@ from ..operators.linking import (
     link_best_candidate,
 )
 from ..operators.mention import build_lexicon_entries, detect_mentions, explode_mentions
-from ..operators.merge import dedup_edges, merge_nodes
+from ..operators.merge import (
+    dedup_edges,
+    dedup_edges_targeted,
+    merge_nodes,
+    merge_nodes_targeted,
+)
 from ..operators.stats import graph_metadata
 from ..sources.kgx import NODE_COLS, conform_nodes
 
@@ -136,19 +141,26 @@ def extract_linked_mentions(transcripts: DataFrame, lex: Lexicons) -> DataFrame:
 
 
 def emit_triples(linked: DataFrame, lex: Lexicons) -> DataFrame:
-    """Stage 3: union of the four triple families, deduped in ONE shuffle.
+    """Stage 3: union of the four triple families, deduped in ONE shuffle —
+    and only over the families that can actually contain duplicates.
 
-    Families carry disjoint predicates, so a single post-union
-    dropDuplicates on the edge key replaces four per-family dedups — the
-    e2e job is stage-latency-bound at small scale and shuffle-bound at
-    large scale; either way fewer shuffles win."""
-    union = (
-        emit_mention_triples(linked)
-        .unionByName(emit_gene_disease_triples(linked, lex.disease))
+    The mention family is unique by construction (``linked`` is distinct on
+    (conv_id, turn_idx, entity_id) and the triple key embeds exactly those),
+    and its predicate is disjoint from every other family's, so it skips the
+    dedup entirely. That matters at scale: mention triples are the
+    corpus-proportional bulk (~80% of rows) with ALL-UNIQUE keys — a dedup
+    shuffle over them moves every row and reduces nothing. The remaining
+    families are corpus-many rows collapsing onto dictionary-few (subject,
+    predicate, object) keys, so their dedup's partial aggregation shrinks
+    the shuffle to approximately the distinct-triple count."""
+    dedupable = (
+        emit_gene_disease_triples(linked, lex.disease)
         .unionByName(emit_variant_cohort_triples(linked))
         .unionByName(emit_variant_gene_triples(linked, lex.variant), allowMissingColumns=True)
+    ).dropDuplicates(["subject", "predicate", "object"])
+    return emit_mention_triples(linked).unionByName(
+        dedupable, allowMissingColumns=True
     )
-    return union.dropDuplicates(["subject", "predicate", "object"])
 
 
 def build_nodes_for_edges(edges: DataFrame, lex: Lexicons) -> DataFrame:
@@ -190,6 +202,26 @@ def build_nodes_for_edges(edges: DataFrame, lex: Lexicons) -> DataFrame:
     )
 
 
+def _ambiguous_norm_targets(edges: DataFrame, predicate_map: DataFrame | None) -> list[str]:
+    """Post-normalization predicate values with ≥ 2 pre-images over the
+    OBSERVED predicate universe (an unmapped predicate is its own
+    pre-image) — the only predicates along which normalization can create
+    duplicate triples. The predicate column is dictionary-cardinality, so
+    the distinct is a map-side-collapsed aggregate over the (persisted)
+    edge table; the rest is driver arithmetic on two tiny sets."""
+    from collections import Counter
+
+    observed = [r[0] for r in edges.select("predicate").distinct().collect()]
+    pm: dict[str, str] = {}
+    if predicate_map is not None:
+        pm = {
+            r["raw_predicate"]: r["biolink_predicate"]
+            for r in predicate_map.collect()
+        }
+    counts = Counter(pm.get(p, p) for p in observed)
+    return [t for t, c in counts.items() if c >= 2]
+
+
 def canonicalize_graph(
     nodes: DataFrame, edges: DataFrame, lex: Lexicons
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -212,16 +244,20 @@ def canonicalize_graph(
             F.coalesce("canonical_id", "id").alias("id"),
             "name",
             "category",
-            F.map_concat(
-                F.coalesce("properties", F.create_map()),
-                F.when(
-                    F.col("equivalent_identifiers").isNotNull(),
+            # Untouched rows keep their properties verbatim (NULL stays
+            # NULL — an empty-map backfill here would diverge from what the
+            # node merge renders for propertyless rows); only normalized
+            # rows graft the equivalent_identifiers entry.
+            F.when(
+                F.col("equivalent_identifiers").isNotNull(),
+                F.map_concat(
+                    F.coalesce("properties", F.create_map()),
                     F.create_map(
                         F.lit("equivalent_identifiers"),
                         F.array_join("equivalent_identifiers", ";"),
                     ),
-                ).otherwise(F.create_map()),
-            ).alias("properties"),
+                ),
+            ).otherwise(F.col("properties")).alias("properties"),
         )
     )
     return nodes, edges, norm_map, failures
@@ -296,9 +332,25 @@ def run_pipeline(
     # is bounded and spills, never recomputes.
     nodes = build_nodes_for_edges(edges, lex).persist(StorageLevel.MEMORY_AND_DISK)
     nodes.count()
+    edges_pre = edges  # pre-normalization view for the predicate census
     nodes, edges, norm_map, failures = canonicalize_graph(nodes, edges, lex)
-    nodes = merge_nodes(nodes)
-    edges = dedup_edges(edges)
+    # Endpoint ids are distinct by construction (build_nodes_for_edges), so
+    # only canonicalization targets can collide — merge just those and
+    # bypass the two-shuffle aggregate for the per-turn node bulk. Same
+    # argument on the edge side: emit already deduped, so only edges whose
+    # endpoints were canonicalized (or whose predicate is an ambiguous
+    # normalization target) can have become duplicates.
+    if norm_map is not None:
+        canon_ids = norm_map.select(F.col("canonical_id").alias("id"))
+        nodes = merge_nodes_targeted(nodes, canon_ids)
+        edges = dedup_edges_targeted(
+            edges, canon_ids, _ambiguous_norm_targets(edges_pre, lex.predicate_map)
+        )
+    else:
+        # No remap and no predicate rewrite happened: the emit-stage dedup
+        # on (subject, predicate, object) still holds, so a further dedup
+        # would shuffle the full triple stream to remove nothing.
+        nodes = merge_nodes(nodes)
     out: dict = {"nodes": nodes, "edges": edges, "norm_map": norm_map, "failures": failures}
     if compute_metadata:
         out["metadata"] = graph_metadata(nodes, edges)
@@ -387,10 +439,29 @@ def run_pipeline_checkpointed(
         if fail_after_bucket is not None and n_processed > fail_after_bucket:
             raise RuntimeError(f"induced failure after bucket {b}")
 
-    edges = dedup_edges(spark.read.parquet(os.path.join(output_dir, "triples")))
+    raw = spark.read.parquet(os.path.join(output_dir, "triples"))
+    # Cross-bucket dedup: buckets partition conv_id, and mention triples
+    # embed (conv_id, turn_idx) in their key — they cannot repeat across
+    # buckets and skip the shuffle (mirrors emit_triples' reasoning); the
+    # dictionary-keyed families CAN repeat across buckets and are deduped.
+    is_mention = F.col("subject").startswith("TURN:")
+    edges = raw.filter(is_mention).unionByName(
+        dedup_edges(raw.filter(~is_mention))
+    )
     nodes = build_nodes_for_edges(edges, lex)
+    edges_pre = edges
     nodes, edges, norm_map, failures = canonicalize_graph(nodes, edges, lex)
-    nodes = merge_nodes(nodes)
+    if norm_map is not None:
+        canon_ids = norm_map.select(F.col("canonical_id").alias("id"))
+        nodes = merge_nodes_targeted(nodes, canon_ids)
+        # Post-remap collisions (two clique members mentioned in one turn
+        # collapsing onto one canonical object) were previously left in the
+        # checkpointed output — run_pipeline deduped them, this path did not.
+        edges = dedup_edges_targeted(
+            edges, canon_ids, _ambiguous_norm_targets(edges_pre, lex.predicate_map)
+        )
+    else:
+        nodes = merge_nodes(nodes)
     nodes.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_nodes"))
     edges.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_edges"))
     out = {"nodes": nodes, "edges": edges, "norm_map": norm_map, "failures": failures}

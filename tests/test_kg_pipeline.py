@@ -85,6 +85,69 @@ def test_merge_idempotent(result, lex):
                                    F.col("id").alias("object")))
 
 
+def test_targeted_merge_equals_full_merge(corpus, lex):
+    """The pipeline's targeted node merge (aggregate only over
+    canonicalization-target ids, bypass for construction-unique rows) must
+    produce exactly the rows the full two-phase merge produces."""
+    from adding_datasets_to_kg_spark.operators.merge import (
+        dedup_edges,
+        dedup_edges_targeted,
+        merge_nodes,
+        merge_nodes_targeted,
+    )
+    from adding_datasets_to_kg_spark.plans.pipeline import (
+        _ambiguous_norm_targets,
+        build_nodes_for_edges,
+        canonicalize_graph,
+        emit_triples,
+        extract_linked_mentions,
+    )
+
+    linked = (
+        extract_linked_mentions(corpus, lex)
+        .select("conv_id", "turn_idx", "entity_id", "entity_type")
+        .dropDuplicates()
+    )
+    edges_pre = emit_triples(linked, lex)
+    nodes = build_nodes_for_edges(edges_pre, lex)
+    nodes, edges, norm_map, _ = canonicalize_graph(nodes, edges_pre, lex)
+    canon_ids = norm_map.select(F.col("canonical_id").alias("id"))
+    full = merge_nodes(nodes)
+    targeted = merge_nodes_targeted(nodes, canon_ids)
+
+    def rows(df):
+        return sorted(
+            (
+                r["id"],
+                r["name"],
+                tuple(sorted(r["category"] or [])),
+                tuple(sorted((r["properties"] or {}).items())),
+                r["properties"] is None,
+            )
+            for r in df.collect()
+        )
+
+    assert rows(full) == rows(targeted)
+    # the merge path must actually have merged something (norm map non-empty)
+    assert norm_map.count() > 0
+
+    # Edge side: targeted dedup must keep exactly the keys a full dedup
+    # keeps (row choice among colliding property payloads is unspecified in
+    # BOTH paths, so compare the deduped key multiset, not full rows).
+    ambig = _ambiguous_norm_targets(edges_pre, lex.predicate_map)
+    full_e = dedup_edges(edges)
+    targeted_e = dedup_edges_targeted(edges, canon_ids, ambig)
+
+    def keys(df):
+        return sorted(
+            (r["subject"], r["predicate"], r["object"], r["primary_knowledge_source"])
+            for r in df.collect()
+        )
+
+    assert keys(full_e) == keys(targeted_e)
+    assert targeted_e.count() == full_e.count()
+
+
 def test_referential_integrity(result):
     from adding_datasets_to_kg_spark.operators.stats import dangling_edges
 

@@ -85,3 +85,51 @@ def test_mention_stream_shuffles_exactly_once(spark):
     plan = plan_of(linked)
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(exchanges) == 1, plan
+
+
+def test_emit_mention_family_bypasses_dedup_shuffle(spark):
+    """emit_triples must NOT shuffle the mention family (unique by
+    construction): the corpus-proportional mention branch plans ZERO
+    exchanges, and unioning it into emit_triples adds no exchange beyond
+    what the collapsible families' branch (co-mention join + lexicon
+    aggregates + their one dedup) already plans."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from adding_datasets_to_kg_spark.datagen import transcripts as dg
+    from adding_datasets_to_kg_spark.operators.linking import (
+        emit_gene_disease_triples,
+        emit_mention_triples,
+        emit_variant_cohort_triples,
+        emit_variant_gene_triples,
+    )
+    from adding_datasets_to_kg_spark.plans.pipeline import (
+        Lexicons,
+        emit_triples,
+        extract_linked_mentions,
+    )
+
+    def n_exchanges(df):
+        return len(re.findall(r"^\(\d+\) Exchange", plan_of(df), flags=re.M))
+
+    lex = Lexicons(
+        gene=dg.gene_lexicon_df(spark),
+        disease=dg.disease_lexicon_df(spark),
+        variant=dg.variant_lexicon_df(spark),
+    )
+    t = spark.createDataFrame(dg.generate_corpus(5, seed=1), dg.TRANSCRIPT_SCHEMA)
+    linked = (
+        extract_linked_mentions(t, lex)
+        .select("conv_id", "turn_idx", "entity_id", "entity_type")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    assert n_exchanges(emit_mention_triples(linked)) == 0
+
+    dedupable = (
+        emit_gene_disease_triples(linked, lex.disease)
+        .unionByName(emit_variant_cohort_triples(linked))
+        .unionByName(emit_variant_gene_triples(linked, lex.variant), allowMissingColumns=True)
+    ).dropDuplicates(["subject", "predicate", "object"])
+    assert n_exchanges(emit_triples(linked, lex)) == n_exchanges(dedupable)
