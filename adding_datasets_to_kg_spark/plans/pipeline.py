@@ -223,18 +223,25 @@ def _ambiguous_norm_targets(edges: DataFrame, predicate_map: DataFrame | None) -
 
 
 def canonicalize_graph(
-    nodes: DataFrame, edges: DataFrame, lex: Lexicons
+    nodes: DataFrame, edges: DataFrame, lex: Lexicons, remap_edges: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """Stage 4: returns (nodes, edges, norm_map, failures)."""
+    """Stage 4: returns (nodes, edges, norm_map, failures).
+
+    ``remap_edges=False`` skips the edge-side remap/predicate rewrite and
+    returns ``edges`` untouched — the pipelines use it so they can fold
+    remap + dedup into the single-pass split of ``_finalize_graph`` instead
+    of layering the dedup's branches on top of an already-joined edge plan.
+    """
     if lex.id_equivalences is None:
         return nodes, edges, None, None
     norm_map, failures = normalization_map(nodes, lex.id_equivalences)
     # Materialize once: three consumers below (subject remap, object remap,
     # node join) would each re-run the CC-derived plan otherwise.
     norm_map = norm_map.localCheckpoint(eager=True)
-    edges = remap_edge_endpoints(edges, norm_map)
-    if lex.predicate_map is not None:
-        edges = normalize_predicates(edges, lex.predicate_map)
+    if remap_edges:
+        edges = remap_edge_endpoints(edges, norm_map)
+        if lex.predicate_map is not None:
+            edges = normalize_predicates(edges, lex.predicate_map)
     # Dictionary-sized (entity-id universe) → broadcast; see
     # remap_edge_endpoints for why the hint is explicit.
     nm = F.broadcast(norm_map.select("id", "canonical_id", "equivalent_identifiers"))
@@ -261,6 +268,104 @@ def canonicalize_graph(
         )
     )
     return nodes, edges, norm_map, failures
+
+
+def _finalize_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    norm_map: DataFrame,
+    predicate_map: DataFrame | None,
+    ambiguous_targets: list[str],
+    max_inset_ids: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Stage 5 over pre-remap edges: endpoint remap + predicate rewrite +
+    dedup, splitting the triple stream ONCE with a pure-expression membership
+    test so the corpus-proportional bulk pays zero join probes and zero
+    dedup shuffle.
+
+    Why pre-remap: the previous shape (remap joins, then
+    ``dedup_edges_targeted``'s flag joins + filter split) re-evaluated the
+    5-broadcast-join chain on BOTH union branches — measured 2.4× slower than
+    even a full-stream dedup at 8M turns. Here the split condition is an
+    ``isin`` over driver-collected sets (Catalyst compiles >10 literals to a
+    hash-set ``InSet``), evaluated directly against the persisted edge cache:
+
+      touched ⇔ subject ∈ nm_ids ∨ object ∈ nm_ids ∨ predicate ∈ pred_touch
+
+    where nm_ids = the norm map's raw-id key set and pred_touch = remapped ∪
+    ambiguous-target predicates. Soundness (why the bulk can neither change
+    nor collide):
+      - ``normalization_map`` emits canonical SELF-rows (CC maps roots to
+        themselves, inner-joined against observed node ids), so any observed
+        id a remap could land ON is itself in nm_ids — an untouched edge can
+        never be the silent twin of a remapped one.
+      - emit/cross-bucket dedup guarantees pre-remap uniqueness on
+        (subject, predicate, object), so equal-key pairs must involve a
+        changed component, and every change implies touched-membership on
+        both sides of the pair (see ``dedup_edges_targeted`` for the
+        predicate argument; pred_touch here additionally includes the raw
+        remapped predicates because the split runs pre-rewrite).
+    The touched subset is dictionary-bounded (edges adjacent to equivalence
+    cliques), so its remap joins + full dedup shuffle move few rows.
+
+    Scale guard: inlining the norm map into the plan is only sane while it is
+    dictionary-sized. Past ``max_inset_ids`` raw ids, fall back to the
+    broadcast-join targeted operators — same results, no driver collect of
+    the id universe, plan size stays bounded.
+
+    Node side, same trick: ``build_nodes_for_edges`` emits unique ids, so
+    only canonical targets can collide after the node remap; an ``InSet``
+    split replaces ``merge_nodes_targeted``'s semi/anti joins.
+    """
+    canon_ids_df = norm_map.select(F.col("canonical_id").alias("id"))
+    if norm_map.count() > max_inset_ids:
+        edges = remap_edge_endpoints(edges, norm_map)
+        if predicate_map is not None:
+            edges = normalize_predicates(edges, predicate_map)
+        return (
+            merge_nodes_targeted(nodes, canon_ids_df),
+            dedup_edges_targeted(edges, canon_ids_df, ambiguous_targets),
+        )
+
+    rows = norm_map.select("id", "canonical_id").collect()
+    nm_ids = [r["id"] for r in rows]
+    canon_ids = sorted({r["canonical_id"] for r in rows})
+    pred_keys: set[str] = set()
+    if predicate_map is not None:
+        pred_keys = {
+            r[0] for r in predicate_map.select("raw_predicate").distinct().collect()
+        }
+    pred_touch = sorted(pred_keys | set(ambiguous_targets))
+
+    touch = F.lit(False)
+    if nm_ids:
+        touch = F.col("subject").isin(nm_ids) | F.col("object").isin(nm_ids)
+    if pred_touch:
+        touch = touch | F.col("predicate").isin(pred_touch)
+    # Null endpoints/predicates make isin NULL; route those rows through the
+    # join path (left joins pass them through unchanged) rather than letting
+    # NULL drop them from both filter branches.
+    touch = F.coalesce(touch, F.lit(True))
+
+    touched = remap_edge_endpoints(edges.filter(touch), norm_map)
+    if predicate_map is not None:
+        touched = normalize_predicates(touched, predicate_map)
+    touched = dedup_edges(touched)
+    bulk = (
+        edges.filter(~touch)
+        .withColumn("original_subject", F.col("subject"))
+        .withColumn("original_object", F.col("object"))
+    )
+    edges_out = touched.unionByName(bulk.select(*touched.columns))
+
+    if canon_ids:
+        ntouch = F.coalesce(F.col("id").isin(canon_ids), F.lit(True))
+        nodes_out = merge_nodes(nodes.filter(ntouch)).unionByName(
+            nodes.filter(~ntouch).select(*NODE_COLS)
+        )
+    else:
+        nodes_out = nodes.select(*NODE_COLS)
+    return nodes_out, edges_out
 
 
 def write_graph_artifacts(out: dict, lex: Lexicons, output_dir: str,
@@ -333,18 +438,20 @@ def run_pipeline(
     nodes = build_nodes_for_edges(edges, lex).persist(StorageLevel.MEMORY_AND_DISK)
     nodes.count()
     edges_pre = edges  # pre-normalization view for the predicate census
-    nodes, edges, norm_map, failures = canonicalize_graph(nodes, edges, lex)
+    nodes, edges, norm_map, failures = canonicalize_graph(
+        nodes, edges, lex, remap_edges=False
+    )
     # Endpoint ids are distinct by construction (build_nodes_for_edges), so
     # only canonicalization targets can collide — merge just those and
     # bypass the two-shuffle aggregate for the per-turn node bulk. Same
     # argument on the edge side: emit already deduped, so only edges whose
     # endpoints were canonicalized (or whose predicate is an ambiguous
-    # normalization target) can have become duplicates.
+    # normalization target) can have become duplicates. _finalize_graph
+    # performs remap + rewrite + dedup in one expression-split pass.
     if norm_map is not None:
-        canon_ids = norm_map.select(F.col("canonical_id").alias("id"))
-        nodes = merge_nodes_targeted(nodes, canon_ids)
-        edges = dedup_edges_targeted(
-            edges, canon_ids, _ambiguous_norm_targets(edges_pre, lex.predicate_map)
+        nodes, edges = _finalize_graph(
+            nodes, edges, norm_map, lex.predicate_map,
+            _ambiguous_norm_targets(edges_pre, lex.predicate_map),
         )
     else:
         # No remap and no predicate rewrite happened: the emit-stage dedup
@@ -450,15 +557,16 @@ def run_pipeline_checkpointed(
     )
     nodes = build_nodes_for_edges(edges, lex)
     edges_pre = edges
-    nodes, edges, norm_map, failures = canonicalize_graph(nodes, edges, lex)
+    nodes, edges, norm_map, failures = canonicalize_graph(
+        nodes, edges, lex, remap_edges=False
+    )
     if norm_map is not None:
-        canon_ids = norm_map.select(F.col("canonical_id").alias("id"))
-        nodes = merge_nodes_targeted(nodes, canon_ids)
         # Post-remap collisions (two clique members mentioned in one turn
         # collapsing onto one canonical object) were previously left in the
         # checkpointed output — run_pipeline deduped them, this path did not.
-        edges = dedup_edges_targeted(
-            edges, canon_ids, _ambiguous_norm_targets(edges_pre, lex.predicate_map)
+        nodes, edges = _finalize_graph(
+            nodes, edges, norm_map, lex.predicate_map,
+            _ambiguous_norm_targets(edges_pre, lex.predicate_map),
         )
     else:
         nodes = merge_nodes(nodes)

@@ -148,6 +148,68 @@ def test_targeted_merge_equals_full_merge(corpus, lex):
     assert targeted_e.count() == full_e.count()
 
 
+def test_finalize_graph_expr_split_equals_join_fallback(corpus, lex):
+    """_finalize_graph's pure-expression (InSet) split over PRE-remap edges
+    must produce exactly the graph the broadcast-join fallback produces —
+    same node rows, same deduped edge keys, same endpoint remaps, same
+    original_* provenance columns."""
+    from adding_datasets_to_kg_spark.plans.pipeline import (
+        _ambiguous_norm_targets,
+        _finalize_graph,
+        build_nodes_for_edges,
+        canonicalize_graph,
+        emit_triples,
+        extract_linked_mentions,
+    )
+
+    linked = (
+        extract_linked_mentions(corpus, lex)
+        .select("conv_id", "turn_idx", "entity_id", "entity_type")
+        .dropDuplicates()
+    )
+    edges_pre = emit_triples(linked, lex)
+    nodes_pre = build_nodes_for_edges(edges_pre, lex)
+    nodes, edges, norm_map, _ = canonicalize_graph(
+        nodes_pre, edges_pre, lex, remap_edges=False
+    )
+    assert norm_map.count() > 0  # the split must actually be exercised
+    ambig = _ambiguous_norm_targets(edges_pre, lex.predicate_map)
+
+    n_expr, e_expr = _finalize_graph(nodes, edges, norm_map, lex.predicate_map, ambig)
+    # max_inset_ids=0 forces the broadcast-join fallback on the same inputs
+    n_join, e_join = _finalize_graph(
+        nodes, edges, norm_map, lex.predicate_map, ambig, max_inset_ids=0
+    )
+
+    def node_rows(df):
+        return sorted(
+            (
+                r["id"],
+                r["name"],
+                tuple(sorted(r["category"] or [])),
+                tuple(sorted((r["properties"] or {}).items())),
+                r["properties"] is None,
+            )
+            for r in df.collect()
+        )
+
+    def edge_rows(df):
+        return sorted(
+            (
+                r["subject"], r["predicate"], r["object"],
+                r["original_subject"], r["original_object"],
+                r["primary_knowledge_source"],
+            )
+            for r in df.collect()
+        )
+
+    assert node_rows(n_expr) == node_rows(n_join)
+    assert edge_rows(e_expr) == edge_rows(e_join)
+    # remap actually rewrote something (non-degenerate fixture)
+    assert any(r["subject"] != r["original_subject"] or r["object"] != r["original_object"]
+               for r in e_expr.collect())
+
+
 def test_referential_integrity(result):
     from adding_datasets_to_kg_spark.operators.stats import dangling_edges
 
