@@ -173,11 +173,20 @@ def dedup_minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "do
     space grows with corpus size, so bucket sizes stay small; hot bands
     (boilerplate docs) are AQE-skew-split.
     """
+    from pyspark import StorageLevel
+
     bands = minhash_bands(docs, text_col, id_col, n_hashes, band_size, shingle_n)
-    bands = bands.localCheckpoint(eager=True)
+    # persist, not localCheckpoint: same compute-once barrier for the two
+    # join sides (cache substitution happens on the analyzed plan, before
+    # the optimizer could inline the signature subtree twice), but with an
+    # unpersist handle — a long-lived session running many corpora must not
+    # accumulate unreleasable checkpoint blocks (round-2 verdict finding:
+    # dozens of leaked RDDs degraded the driver-harness e2e bench 3.6×).
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    bands.count()  # eager: AQE's concurrent stages must not race the cache
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    result = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -186,7 +195,12 @@ def dedup_minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "do
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+        # materialize the SMALL pair result, then release the corpus-scale
+        # band table (the dedup_ngram_jaccard pattern)
+        .localCheckpoint(eager=True)
     )
+    bands.unpersist()
+    return result
 
 
 # --- simhash ----------------------------------------------------------------
@@ -421,7 +435,10 @@ def dedup_simhash64(docs: DataFrame, max_hamming: int = 6,
     replaces saturates its 2^16 buckets around 10^8 docs); near-dup clusters
     are small; no cross join anywhere.
     """
-    fp = simhash64_fingerprints(docs, text_col, id_col).localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    fp = simhash64_fingerprints(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    fp.count()  # eager materialization; released after the final pair table below
     band_vals = [F.col(f"b{i}") for i in range(SIMHASH_BANDS)]
     blocks = [_simhash_block(band_vals, lo, hi) for lo, hi in SIMHASH_BLOCK_BOUNDS]
     exploded = fp.select(
@@ -455,13 +472,17 @@ def dedup_simhash64(docs: DataFrame, max_hamming: int = 6,
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
         for i in range(SIMHASH_BANDS)
     )
-    return (
+    result = (
         cand.join(fa, "id_a")
         .join(fb, "id_b")
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        # small pair result materialized, corpus-scale fingerprints released
+        .localCheckpoint(eager=True)
     )
+    fp.unpersist()
+    return result
 
 
 def dedup_survivors(docs: DataFrame, pairs: DataFrame,
@@ -623,10 +644,13 @@ def embedding_lsh_pairs(embs: DataFrame, threshold: float = 0.95,
     # janino's 64 KB method limit — the doomed compile attempt costs seconds
     # PER INVOCATION (failures are not cached) before the engine falls back
     # to interpreted eval anyway; skipping the attempt is strictly faster
+    from pyspark import StorageLevel
+
     from ..session import no_wholestage_codegen
 
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     with no_wholestage_codegen(embs.sparkSession):
-        bands = bands.localCheckpoint(eager=True)
+        bands.count()  # eager; released after the final pair table below
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -665,13 +689,18 @@ def embedding_lsh_pairs(embs: DataFrame, threshold: float = 0.95,
     # whole-stage codegen, so the double interpreted evaluation dominates
     # (measured up to 4× on the sf0.1 recheck). The scored table is
     # candidate-scale (3 narrow columns), which the LSH pruning already
-    # bounds — the same linearity argument as the band table checkpoint.
+    # bounds. Cache substitution happens on the analyzed plan, so the lazy
+    # filter below reads the cached cos column — no dot re-evaluation.
     # no_wholestage_codegen: same doomed-compile story as the band table.
-    from ..session import no_wholestage_codegen
-
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     with no_wholestage_codegen(embs.sparkSession):
-        scored = scored.localCheckpoint(eager=True)
-    return scored.filter(F.col("cos") >= threshold)
+        scored.count()
+        # final (threshold-surviving) pair table is the smallest of the
+        # three — checkpoint it, release everything corpus/candidate-scale
+        result = scored.filter(F.col("cos") >= threshold).localCheckpoint(eager=True)
+    scored.unpersist()
+    bands.unpersist()
+    return result
 
 
 def embedding_lsh_sql(threshold: float, n_bands: int = 4, band_planes: int = 4,

@@ -82,6 +82,9 @@ def refine_centroids(c: DataFrame, centroids: DataFrame, n_iters: int = 1,
     re-normalized. Each iteration materializes (localCheckpoint) to keep
     plans O(1) deep.
     """
+    from pyspark import StorageLevel
+
+    prev = None
     for _ in range(n_iters):
         assign = _assign_cells(c, centroids, id_col, dim)
         dims = c.join(assign, id_col).select(
@@ -101,15 +104,23 @@ def refine_centroids(c: DataFrame, centroids: DataFrame, n_iters: int = 1,
         # — skip the doomed per-iteration compile attempt (see session.py)
         from ..session import no_wholestage_codegen
 
-        with no_wholestage_codegen(c.sparkSession):
-            centroids = (
-                centroids.join(new_centroids, "cell_id", "left")
-                .select(
-                    "cell_id",
-                    F.coalesce("new_centroid", "centroid").alias("centroid"),
-                )
-                .localCheckpoint(eager=True)
+        centroids = (
+            centroids.join(new_centroids, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce("new_centroid", "centroid").alias("centroid"),
             )
+            # persist + eager count: same effective-plan truncation as the
+            # previous localCheckpoint (cache substitution on the analyzed
+            # plan), but releasable — each iteration frees its predecessor
+            # instead of leaking one checkpointed RDD per Lloyd step
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        with no_wholestage_codegen(c.sparkSession):
+            centroids.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = centroids
     return centroids
 
 

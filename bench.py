@@ -37,6 +37,25 @@ def _force(df) -> int:
     return 0
 
 
+def _release(spark) -> None:
+    """Drop every persistent RDD + SQL cache left behind by a query.
+
+    Operators that materialize intermediates (persist / localCheckpoint)
+    release the big ones themselves, but small result checkpoints survive
+    by design until GC; across 50+ queries in one long-lived session those
+    blocks accumulate in the block manager and tax every later stage
+    (measured round 2: the e2e pipeline ran 2.3× slower after the 56-query
+    preamble than in a clean JVM). The benched DataFrames are discarded
+    after the force, so unpersisting is always safe here.
+    """
+    spark.catalog.clearCache()
+    # py4j exposes the JavaSparkContext's Map<Integer, JavaRDD> as a
+    # dict-like JavaMap — iterate its values and unpersist each (non-blocking)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist(False)
+
+
 def main() -> None:
     from adding_datasets_to_kg_spark.session import get_spark
     from adding_datasets_to_kg_spark.datagen.transcripts import (
@@ -77,6 +96,7 @@ def main() -> None:
                 # LOUD: a silently-failed warm-up (missing warm dir, typo'd
                 # SPARK_GRAFT_WARM_DIR) would publish cold timings as warm
                 print(f"[bench] WARN warm-up failed for {name}: {exc}", file=sys.stderr)
+        _release(spark)
         t0 = time.time()
         try:
             _force(fn(spark, SF_DIR))
@@ -84,6 +104,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — a broken query must not hide the rest
             timings[name] = -1.0
             print(f"[bench] FAIL {name}: {exc}", file=sys.stderr)
+        _release(spark)
 
     # --- end-to-end transcript pipeline (north-rule turns/sec) ---
     lex = Lexicons(
@@ -101,7 +122,7 @@ def main() -> None:
     warm_out = run_pipeline(warm, lex, compute_metadata=False)
     _force(warm_out["edges"])
     _force(warm_out["nodes"])
-    spark.catalog.clearCache()
+    _release(spark)
 
     from pyspark import StorageLevel
 
