@@ -109,6 +109,17 @@ def merge_nodes_targeted(
     carries the canonical id). ``maybe_dup_ids`` = the norm map's
     canonical_id column covers both cases.
 
+    Second precondition (exact-parity callers): uniqueness alone is NOT
+    sufficient for bitwise parity with ``merge_nodes`` — the untouched
+    branch passes rows through VERBATIM, while ``merge_nodes`` normalizes
+    representation (empty-string name → NULL via min-struct over non-empty,
+    array_sort'd category, empty property set → NULL map). Generic callers
+    whose unique rows are not already in that normal form get equivalent
+    but not identical rows on the untouched side. The pipeline satisfies
+    it by construction: ``build_nodes_for_edges`` emits NULL-or-real names,
+    single-element (hence sorted) categories, and NULL properties, and
+    ``canonicalize_graph`` preserves NULL properties for untouched rows.
+
     Why it exists: the full ``merge_nodes`` pays two shuffles plus
     collect_list/array aggregation over EVERY node — at 32M turns that is
     tens of millions of per-turn TURN: nodes that can never merge with

@@ -1,11 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libraries in this container): a
-clearly-marked deterministic fake stands in for pixel/sample decoding, while
-everything Spark-side — schema, batch iteration, partition sizing, UDF
-signatures — is real and tested. Swap ``_fake_decode`` for a PIL/librosa
-call and nothing else changes.
+Image decode is REAL when Pillow is importable (optional dependency,
+gated by ``HAS_PIL``): payloads that decode as images go through
+``PIL.Image`` for pixel features and resampling. Payloads that don't
+decode — and every payload when Pillow is absent, as in this container —
+fall back to a clearly-marked deterministic stub, so the Spark-side
+contract (schema, batch iteration, partition sizing, UDF signatures) is
+identical on both paths and the synthetic-corpus oracles stay
+reproducible (synthetic payloads are utf-8 text, never decodable images).
+Audio/video decode remains stubbed (librosa/ffmpeg are heavyweight native
+deps; same fallback structure applies when they are added).
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` low enough that
@@ -20,6 +25,32 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # optional dependency — decode degrades to the deterministic stub
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised when Pillow is installed
+    _PILImage = None
+    HAS_PIL = False
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload to an RGB numpy array (H, W, 3), or None when
+    the payload is not a decodable image or Pillow is absent. The None
+    return is the signal to take the deterministic stub path — callers stay
+    byte-for-byte reproducible on non-image payloads either way."""
+    if not HAS_PIL or payload is None:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with _PILImage.open(io.BytesIO(bytes(payload))) as im:
+            return np.asarray(im.convert("RGB"))
+    except Exception:  # noqa: BLE001 — any undecodable payload → stub path
+        return None
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, mime string, "
@@ -51,9 +82,10 @@ def attach_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 
 def _fake_decode(payload: bytes, kind: str) -> list[float]:
-    """STUB: deterministic fake for the real decoder (PIL/librosa/ffmpeg not
-    present in this container). Produces an 8-dim 'feature' from byte stats.
-    Replace with a real decode + model forward pass in production."""
+    """STUB: deterministic fake feature vector from byte stats — the
+    fallback when the payload is not a decodable image (or Pillow/librosa/
+    ffmpeg are absent). Replace the downstream model forward pass in
+    production; the 8-dim shape is the contract."""
     if payload is None:
         raise NotImplementedError("real media decode requires image/audio libs")
     n = len(payload)
@@ -69,6 +101,27 @@ def _fake_decode(payload: bytes, kind: str) -> list[float]:
     ]
 
 
+def _decode_features(payload: bytes, kind: str) -> list[float]:
+    """Real-decode feature path: pixel statistics for decodable images
+    (same 8-dim contract as the stub), stub for everything else."""
+    if kind == "image":
+        arr = decode_image(payload)
+        if arr is not None:
+            h, w = int(arr.shape[0]), int(arr.shape[1])
+            means = arr.reshape(-1, 3).mean(axis=0)
+            return [
+                float(h),
+                float(w),
+                float(means[0]),
+                float(means[1]),
+                float(means[2]),
+                float(arr.std()),
+                1.0,  # decoded-for-real marker
+                float(len(payload) % 256),
+            ]
+    return _fake_decode(payload, kind)
+
+
 RESIZED_SCHEMA = (
     "media_id long, kind string, payload binary, mime string, "
     "width int, height int, duration_ms int, orig_width int, orig_height int"
@@ -77,11 +130,12 @@ RESIZED_SCHEMA = (
 
 def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
     """Resize pass for image rows (video/audio rows pass through untouched):
-    Arrow-batched mapInPandas with the pixel work STUBBED (no PIL in this
-    container) — the stand-in deterministically rescales the payload length
-    by the area ratio, preserving the real pipeline shape: per-batch
+    Arrow-batched mapInPandas. Decodable payloads resample through
+    ``PIL.Image.resize`` when Pillow is installed (HAS_PIL); undecodable
+    payloads — and everything when Pillow is absent, as in this container —
+    take a deterministic stand-in that rescales the payload length by the
+    area ratio. Either way the pipeline shape is identical: per-batch
     streaming, binary in/binary out, metadata rewritten, originals kept.
-    Swap ``_fake_resize`` for ``PIL.Image.resize`` and nothing else changes.
     """
 
     def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
@@ -91,6 +145,20 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) ->
         reps = target_len // max(len(payload), 1) + 1
         return (payload * reps)[:target_len]
 
+    def _resize_one(payload: bytes, w: int, h: int) -> bytes:
+        # Real path when the payload actually decodes as an image (requires
+        # Pillow): bilinear resample, re-encode PNG. Undecodable payloads
+        # (every synthetic fixture) take the deterministic stub.
+        arr = decode_image(payload)
+        if arr is not None:
+            import io
+
+            im = _PILImage.fromarray(arr).resize((target_w, target_h))
+            buf = io.BytesIO()
+            im.save(buf, format="PNG")
+            return buf.getvalue()
+        return _fake_resize(payload, w, h)
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
@@ -98,7 +166,7 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) ->
             out["orig_height"] = pdf["height"]
             is_img = pdf["kind"] == "image"
             out.loc[is_img, "payload"] = [
-                _fake_resize(p, int(w), int(h))
+                _resize_one(p, int(w), int(h))
                 for p, w, h in zip(
                     pdf.loc[is_img, "payload"], pdf.loc[is_img, "width"], pdf.loc[is_img, "height"]
                 )
@@ -154,7 +222,7 @@ def extract_features(media: DataFrame, frame_stride: int = 10) -> DataFrame:
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+                _decode_features(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
                 {

@@ -22,7 +22,6 @@ Counters double as per-partition lineage metrics.
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import dataclass, field
 
@@ -383,19 +382,25 @@ def write_graph_artifacts(out: dict, lex: Lexicons, output_dir: str,
     """
     if out.get("norm_map") is not None:
         out["norm_map"].write.mode("overwrite").json(
-            os.path.join(output_dir, "normalization_map.json")
+            f"{output_dir.rstrip(chr(47))}/normalization_map.json"
         )
     if out.get("failures") is not None:
         out["failures"].select(F.col("id").alias("value")).write.mode("overwrite").text(
-            os.path.join(output_dir, "normalization_failures.txt")
+            f"{output_dir.rstrip(chr(47))}/normalization_failures.txt"
         )
     if lex.predicate_map is not None:
         lex.predicate_map.write.mode("overwrite").json(
-            os.path.join(output_dir, "predicate_map.jsonl")
+            f"{output_dir.rstrip(chr(47))}/predicate_map.jsonl"
         )
     if out.get("metadata") is not None:
-        with open(os.path.join(output_dir, f"{graph_id}_metadata.json"), "w") as f:
-            json.dump(out["metadata"], f, indent=2, default=str)
+        from .. import fsio
+
+        spark = (out.get("nodes") or lex.gene).sparkSession
+        fsio.write_text_atomic(
+            spark,
+            f"{output_dir.rstrip('/')}/{graph_id}_metadata.json",
+            json.dumps(out["metadata"], indent=2, default=str),
+        )
 
 
 def run_pipeline(
@@ -462,8 +467,8 @@ def run_pipeline(
     if compute_metadata:
         out["metadata"] = graph_metadata(nodes, edges)
     if output_dir:
-        nodes.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_nodes"))
-        edges.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_edges"))
+        nodes.write.mode("overwrite").parquet(f"{output_dir.rstrip(chr(47))}/kg_nodes")
+        edges.write.mode("overwrite").parquet(f"{output_dir.rstrip(chr(47))}/kg_edges")
         write_graph_artifacts(out, lex, output_dir, graph_id)
     return out
 
@@ -473,21 +478,42 @@ def run_pipeline(
 # ---------------------------------------------------------------------------
 
 def _checkpoint_path(output_dir: str) -> str:
-    return os.path.join(output_dir, "_checkpoints")
+    return f"{output_dir.rstrip('/')}/_checkpoints"
 
 
 def completed_buckets(spark: SparkSession, output_dir: str) -> set[int]:
+    """Read the per-bucket checkpoint rows through the Hadoop FileSystem API
+    — ``output_dir`` may be file:/hdfs:/s3a:; driver-local ``os.*`` probes
+    would silently report an empty checkpoint set on a cluster run and
+    resume would redo (and re-commit) every bucket."""
+    from .. import fsio
+
     path = _checkpoint_path(output_dir)
-    if not os.path.exists(path):
-        return set()
     done = set()
-    for fn in sorted(os.listdir(path)):
-        if fn.endswith(".json"):
-            with open(os.path.join(path, fn)) as f:
-                rec = json.load(f)
+    for fn in fsio.list_names(spark, path):
+        if fn.endswith(".json") and not fn.endswith(".json.tmp"):
+            rec = json.loads(fsio.read_text(spark, f"{path}/{fn}"))
             if rec.get("status") == "complete":
                 done.add(rec["bucket"])
     return done
+
+
+def combine_bucket_triples(raw: DataFrame) -> DataFrame:
+    """Cross-bucket triple combination for the checkpointed pipeline.
+
+    Buckets partition conv_id, and mention triples embed (conv_id,
+    turn_idx) in their key — they cannot repeat across buckets and skip the
+    dedup shuffle (mirrors emit_triples' reasoning); the dictionary-keyed
+    families CAN repeat across buckets and are deduped.
+
+    coalesce: ``startswith()`` is NULL for a null subject, and a NULL
+    predicate fails BOTH filter branches — such rows must flow through the
+    deduped branch (matching the pre-split ``dedup_edges(raw)`` behavior
+    and the explicit NULL routing in ``_finalize_graph``), not silently
+    vanish from the output.
+    """
+    is_mention = F.coalesce(F.col("subject").startswith("TURN:"), F.lit(False))
+    return raw.filter(is_mention).unionByName(dedup_edges(raw.filter(~is_mention)))
 
 
 def run_pipeline_checkpointed(
@@ -505,8 +531,10 @@ def run_pipeline_checkpointed(
     ``fail_after_bucket`` is a test hook: raise after committing K buckets to
     exercise resume semantics (SURVEY.md §5.2 resume tests).
     """
+    from .. import fsio
+
     spark = transcripts.sparkSession
-    os.makedirs(_checkpoint_path(output_dir), exist_ok=True)
+    fsio.mkdirs(spark, _checkpoint_path(output_dir))
     done = completed_buckets(spark, output_dir)
     bucketed = transcripts.withColumn("_bucket", bucket_expr("conv_id", n_buckets))
 
@@ -523,7 +551,7 @@ def run_pipeline_checkpointed(
         )
         edges = emit_triples(linked, lex)
         t0 = time.time()
-        edge_path = os.path.join(output_dir, "triples", f"bucket={b}")
+        edge_path = f"{output_dir.rstrip('/')}/triples/bucket={b}"
         edges.write.mode("overwrite").parquet(edge_path)
         n_edges = spark.read.parquet(edge_path).count()
         n_turns = part.count()
@@ -538,23 +566,20 @@ def run_pipeline_checkpointed(
             },
             "wall_sec": round(time.time() - t0, 3),
         }
-        tmp = os.path.join(_checkpoint_path(output_dir), f".bucket_{b}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(ckpt, f)
-        os.replace(tmp, os.path.join(_checkpoint_path(output_dir), f"bucket_{b}.json"))
+        # write-then-rename through the Hadoop FS API: atomic commit that
+        # works for file:/hdfs:/s3a: output dirs alike (os.replace only
+        # ever worked on the driver's local disk)
+        fsio.write_text_atomic(
+            spark,
+            f"{_checkpoint_path(output_dir)}/bucket_{b}.json",
+            json.dumps(ckpt),
+        )
         n_processed += 1
         if fail_after_bucket is not None and n_processed > fail_after_bucket:
             raise RuntimeError(f"induced failure after bucket {b}")
 
-    raw = spark.read.parquet(os.path.join(output_dir, "triples"))
-    # Cross-bucket dedup: buckets partition conv_id, and mention triples
-    # embed (conv_id, turn_idx) in their key — they cannot repeat across
-    # buckets and skip the shuffle (mirrors emit_triples' reasoning); the
-    # dictionary-keyed families CAN repeat across buckets and are deduped.
-    is_mention = F.col("subject").startswith("TURN:")
-    edges = raw.filter(is_mention).unionByName(
-        dedup_edges(raw.filter(~is_mention))
-    )
+    raw = spark.read.parquet(f"{output_dir.rstrip(chr(47))}/triples")
+    edges = combine_bucket_triples(raw)
     nodes = build_nodes_for_edges(edges, lex)
     edges_pre = edges
     nodes, edges, norm_map, failures = canonicalize_graph(
@@ -570,8 +595,8 @@ def run_pipeline_checkpointed(
         )
     else:
         nodes = merge_nodes(nodes)
-    nodes.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_nodes"))
-    edges.write.mode("overwrite").parquet(os.path.join(output_dir, "kg_edges"))
+    nodes.write.mode("overwrite").parquet(f"{output_dir.rstrip(chr(47))}/kg_nodes")
+    edges.write.mode("overwrite").parquet(f"{output_dir.rstrip(chr(47))}/kg_edges")
     out = {"nodes": nodes, "edges": edges, "norm_map": norm_map, "failures": failures}
     if compute_metadata:
         out["metadata"] = graph_metadata(nodes, edges)

@@ -193,18 +193,48 @@ def test_finalize_graph_expr_split_equals_join_fallback(corpus, lex):
             for r in df.collect()
         )
 
-    def edge_rows(df):
+    def edge_keys(df):
         return sorted(
-            (
-                r["subject"], r["predicate"], r["object"],
-                r["original_subject"], r["original_object"],
-                r["primary_knowledge_source"],
-            )
+            (r["subject"], r["predicate"], r["object"], r["primary_knowledge_source"])
             for r in df.collect()
         )
 
     assert node_rows(n_expr) == node_rows(n_join)
-    assert edge_rows(e_expr) == edge_rows(e_join)
+    assert edge_keys(e_expr) == edge_keys(e_join)
+    # original_* provenance: WHICH of two colliding remapped edges
+    # dropDuplicates keeps is unspecified, and the two paths build different
+    # physical plans — so originals are asserted only for keys with a single
+    # pre-dedup contributor (where the kept row is fully determined).
+    from collections import Counter
+
+    from adding_datasets_to_kg_spark.operators.canonicalize import (
+        normalize_predicates,
+        remap_edge_endpoints,
+    )
+
+    pre = remap_edge_endpoints(edges, norm_map)
+    if lex.predicate_map is not None:
+        pre = normalize_predicates(pre, lex.predicate_map)
+    contributors = Counter(
+        (r["subject"], r["predicate"], r["object"], r["primary_knowledge_source"])
+        for r in pre.collect()
+    )
+    single = {k for k, c in contributors.items() if c == 1}
+    assert single  # fixture must exercise the unambiguous case
+
+    def originals(df):
+        return sorted(
+            (
+                r["subject"], r["predicate"], r["object"],
+                r["primary_knowledge_source"],
+                r["original_subject"], r["original_object"],
+            )
+            for r in df.collect()
+            if (r["subject"], r["predicate"], r["object"],
+                r["primary_knowledge_source"]) in single
+        )
+
+    assert originals(e_expr) == originals(e_join)
     # remap actually rewrote something (non-degenerate fixture)
     assert any(r["subject"] != r["original_subject"] or r["object"] != r["original_object"]
                for r in e_expr.collect())
@@ -232,14 +262,21 @@ def test_node_ids_unique(result):
     assert n.count() == n.select("id").distinct().count()
 
 
-def test_resume_after_induced_failure(tmp_path, corpus, lex):
+@pytest.mark.parametrize("scheme", ["", "file://"])
+def test_resume_after_induced_failure(tmp_path, corpus, lex, scheme):
     """Kill after K buckets → restart → identical final triple set, no
-    duplicate checkpoints (SURVEY.md §5.2 resume tests)."""
-    out1 = str(tmp_path / "full")
+    duplicate checkpoints (SURVEY.md §5.2 resume tests).
+
+    Parameterized over a scheme-qualified URI: the checkpoint store goes
+    through the Hadoop FileSystem API (fsio), so an explicit ``file://``
+    output_dir exercises the same code path an ``hdfs://``/``s3a://``
+    cluster run takes — driver-local ``os.*`` would reject or mis-resolve
+    the scheme-carrying string."""
+    out1 = scheme + str(tmp_path / "full")
     full = run_pipeline_checkpointed(corpus, lex, out1, n_buckets=4)
     want = triple_set(full["edges"])
 
-    out2 = str(tmp_path / "resumed")
+    out2 = scheme + str(tmp_path / "resumed")
     with pytest.raises(RuntimeError, match="induced failure"):
         run_pipeline_checkpointed(corpus, lex, out2, n_buckets=4, fail_after_bucket=1)
     from adding_datasets_to_kg_spark.plans.pipeline import completed_buckets
@@ -393,3 +430,33 @@ def test_cc_half_null_edges_agree_across_paths(spark):
     dist = {r.id: r.canonical_id
             for r in connected_components(edges, driver_threshold=0).collect()}
     assert driver == want and dist == want
+
+
+def test_combine_bucket_triples_keeps_null_subject_rows(spark):
+    """A null-subject (or null-predicate) triple fails BOTH startswith filter
+    branches unless the mention test coalesces NULL to False — such rows
+    must flow through the deduped branch, matching what dedup_edges(raw)
+    did before the mention/bulk split existed."""
+    from adding_datasets_to_kg_spark.plans.pipeline import combine_bucket_triples
+
+    raw = spark.createDataFrame(
+        [
+            ("TURN:c1#0", "biolink:mentions", "NCBIGene:7157", "s"),
+            (None, "biolink:mentions", "NCBIGene:7157", "s"),
+            (None, "biolink:mentions", "NCBIGene:7157", "s"),  # dup of the null row
+            ("NCBIGene:7157", None, "DOID:1612", "s"),
+            ("NCBIGene:7157", "biolink:gene_associated_with_condition", "DOID:1612", "s"),
+        ],
+        "subject string, predicate string, object string, primary_knowledge_source string",
+    )
+    key = lambda t: tuple(x or "" for x in t)  # noqa: E731 — None-safe sort
+    got = sorted(
+        ((r.subject, r.predicate, r.object)
+         for r in combine_bucket_triples(raw).collect()), key=key
+    )
+    assert got == sorted([
+        ("TURN:c1#0", "biolink:mentions", "NCBIGene:7157"),
+        (None, "biolink:mentions", "NCBIGene:7157"),  # deduped, NOT dropped
+        ("NCBIGene:7157", None, "DOID:1612"),
+        ("NCBIGene:7157", "biolink:gene_associated_with_condition", "DOID:1612"),
+    ], key=key)
