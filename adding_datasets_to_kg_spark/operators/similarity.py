@@ -82,9 +82,10 @@ def refine_centroids(c: DataFrame, centroids: DataFrame, n_iters: int = 1,
     re-normalized. Each iteration materializes (localCheckpoint) to keep
     plans O(1) deep.
     """
-    from pyspark import StorageLevel
+    from ..session import no_wholestage_codegen, persistent_rdd_ids, unpersist_new_rdds
 
-    prev = None
+    spark = c.sparkSession
+    before = persistent_rdd_ids(spark)
     for _ in range(n_iters):
         assign = _assign_cells(c, centroids, id_col, dim)
         dims = c.join(assign, id_col).select(
@@ -101,26 +102,21 @@ def refine_centroids(c: DataFrame, centroids: DataFrame, n_iters: int = 1,
         )
         # no_wholestage_codegen: the assignment plan embeds the 64-term
         # unrolled dots, whose generated method exceeds janino's 64 KB limit
-        # — skip the doomed per-iteration compile attempt (see session.py)
-        from ..session import no_wholestage_codegen
-
-        centroids = (
-            centroids.join(new_centroids, "cell_id", "left")
-            .select(
-                "cell_id",
-                F.coalesce("new_centroid", "centroid").alias("centroid"),
-            )
-            # persist + eager count: same effective-plan truncation as the
-            # previous localCheckpoint (cache substitution on the analyzed
-            # plan), but releasable — each iteration frees its predecessor
-            # instead of leaking one checkpointed RDD per Lloyd step
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # — skip the doomed per-iteration compile attempt (see session.py).
+        # localCheckpoint (not persist): truncates the iteration's subtree so
+        # the next iteration / downstream consumers embed a leaf RDD scan,
+        # not the accumulated Lloyd expression tree; every iteration's blocks
+        # except the last one are released before returning.
+        centroids = centroids.join(new_centroids, "cell_id", "left").select(
+            "cell_id",
+            F.coalesce("new_centroid", "centroid").alias("centroid"),
         )
-        with no_wholestage_codegen(c.sparkSession):
-            centroids.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = centroids
+        mid = persistent_rdd_ids(spark)
+        with no_wholestage_codegen(spark):
+            centroids = centroids.localCheckpoint(eager=True)
+    # centroid tables are n_cells-sized — release every iteration's blocks
+    # except the final one (still referenced by the returned DataFrame)
+    unpersist_new_rdds(spark, before, keep=persistent_rdd_ids(spark) - mid)
     return centroids
 
 

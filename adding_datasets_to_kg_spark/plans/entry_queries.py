@@ -1417,15 +1417,19 @@ _TRI_HITS_SQL = " + ".join(
              GREATEST(length(lt) - 2, 0) AS n_slots,
              {_TRI_HITS_SQL} AS hits
       FROM t
+    ),
+    ratio AS (
+      SELECT doc_id, toks,
+             ROUND(CASE WHEN n_slots > 0 THEN hits::DOUBLE / n_slots ELSE 0.0 END, 4) AS tri_ratio
+      FROM scored
     )
     SELECT doc_id,
            CASE WHEN len(toks) > 0 AND
                      len(list_filter(toks, x -> x IN {_SQL_STOP}))::DOUBLE / len(toks) >= 0.08
                 THEN 'en' ELSE 'unknown' END AS lang_stopword,
-           ROUND(CASE WHEN n_slots > 0 THEN hits::DOUBLE / n_slots ELSE 0.0 END, 4) AS tri_ratio,
-           CASE WHEN n_slots > 0 AND hits::DOUBLE / n_slots >= 0.04
-                THEN 'en' ELSE 'unknown' END AS lang_ngram
-    FROM scored
+           tri_ratio,
+           CASE WHEN tri_ratio >= 0.04 THEN 'en' ELSE 'unknown' END AS lang_ngram
+    FROM ratio
     """,
 )
 def q_text_langid(spark, sf_dir):
@@ -1439,7 +1443,11 @@ def q_text_langid(spark, sf_dir):
     string ops per row (an enumerate-every-position + set-membership
     formulation ran 20s at sf0.1; this runs <1s with identical semantics
     up to same-trigram self-overlap, which the profile trigrams cannot
-    exhibit except in degenerate periodic strings)."""
+    exhibit except in degenerate periodic strings).
+
+    ``lang_ngram`` thresholds the ROUNDED ratio (the output column) in both
+    engines — referencing the raw ratio expression twice would inline the
+    30-replace chain twice per row (measured 2× on this entry)."""
     d = _t(spark, sf_dir, "documents")
     lt = F.lower(F.col("text"))
     n_slots = F.greatest(F.length(lt) - 2, F.lit(0))
@@ -1448,11 +1456,18 @@ def q_text_langid(spark, sf_dir):
         term = ((F.length(lt) - F.length(F.replace(lt, F.lit(g), F.lit("")))) / 3).cast("long")
         hits = term if hits is None else hits + term
     ratio = F.when(n_slots > 0, hits.cast("double") / n_slots).otherwise(F.lit(0.0))
-    return d.select(
+    scored = d.select(
         "doc_id",
         langid_en("text").alias("lang_stopword"),
         F.round(ratio, 4).alias("tri_ratio"),
-        F.when(ratio >= 0.04, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_ngram"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang_stopword",
+        "tri_ratio",
+        F.when(F.col("tri_ratio") >= 0.04, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang_ngram"),
     )
 
 

@@ -40,6 +40,30 @@ def no_wholestage_codegen(spark: SparkSession):
         spark.conf.set("spark.sql.codegen.wholeStage", prev)
 
 
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of every RDD currently pinned in the block manager (persisted or
+    localCheckpointed). Used with :func:`unpersist_new_rdds` to release an
+    operator's materialized intermediates without giving up localCheckpoint's
+    plan TRUNCATION: persist keeps the full analyzed subtree embedded in
+    every downstream plan — for the unrolled 64-term vector trees that is
+    seconds of re-analysis per consumer (measured 2-3× on the IVF/LSH
+    entries) — while localCheckpoint replaces it with a leaf RDD scan."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {jrdd.id() for jrdd in jmap.values()}
+
+
+def unpersist_new_rdds(spark: SparkSession, before: set[int], keep: set[int] = frozenset()) -> None:
+    """Release every pinned RDD created since ``before`` was snapshotted,
+    except ids in ``keep`` (typically the operator's own small checkpointed
+    result). Non-blocking. Safe for localCheckpointed intermediates that are
+    fully consumed: their blocks are never read again."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in list(jmap.values()):
+        rid = jrdd.id()
+        if rid not in before and rid not in keep:
+            jrdd.unpersist(False)
+
+
 def get_spark(
     app_name: str = "adding_datasets_to_kg_spark",
     cpus: int | None = None,
@@ -76,6 +100,24 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan sizing: bounded input splits so partitions fit executor memory ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Split small inputs across all cores: maxSplitBytes =
+        # min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartitionNum)),
+        # so a dictionary-scale parquet file (a few MB) otherwise scans as ONE
+        # task and serializes every expression over it onto one core (measured
+        # 5× on the sf0.1 document entries). Scale-neutral: at 100 TB the
+        # totalBytes/minPartitionNum term exceeds maxPartitionBytes and the
+        # 128 MB cap above still governs split size.
+        #
+        # openCostInBytes = 1 KiB, not the 4 MiB default: local/columnar
+        # opens are cheap, and the floor must sit BELOW tiny-file/32 so a
+        # small input and a 100× one split into the SAME partition count.
+        # Matching split counts keeps the Python-worker pool warm across
+        # scales: a mapInPandas stage whose warm-up ran at 3 splits but whose
+        # real run fans to 32 pays a serialized createPythonWorker fork storm
+        # (daemon forks are one-at-a-time; measured 8.5s vs 0.9s on the media
+        # feature stage — pandas import per fresh worker × 28 forks).
+        .config("spark.sql.files.minPartitionNum", str(max(cpus, 8)))
+        .config("spark.sql.files.openCostInBytes", "1024")
         # --- broadcast threshold: dictionary/lexicon tables are broadcast joins ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

@@ -343,6 +343,33 @@ def test_load_lexicons_from_parquet_dir(spark, tmp_path, corpus, lex):
     assert key(got["edges"]) == key(want["edges"])
 
 
+def test_graph_metadata_matches_committed_golden(result):
+    """Golden-stats fidelity: the full pipeline's metadata over the fixed
+    fixture corpus (n_convs=40, seed=7) must equal the committed golden JSON
+    — the analog of the reference's committed KG summary counts
+    (/root/reference/docs/04_MIDAS_KNOWLEDGE_GRAPH_SUMMARY.md:12-16). Any
+    semantic drift in extract/link/canonicalize/merge surfaces here as a
+    count diff; bless intentional changes with
+
+        python jobs/gen_golden_metadata.py
+    """
+    import json
+    import os
+
+    from adding_datasets_to_kg_spark.operators.stats import graph_metadata
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden_graph_metadata.json")
+    with open(golden_path) as f:
+        golden = json.load(f)
+    got = graph_metadata(result["nodes"], result["edges"])
+    assert got == golden, (
+        "graph_metadata drifted from the committed golden; if intentional, "
+        "re-bless via jobs/gen_golden_metadata.py.\n"
+        f"got:    {json.dumps(got, sort_keys=True)}\n"
+        f"golden: {json.dumps(golden, sort_keys=True)}"
+    )
+
+
 def test_salted_degree_agg_on_hub_skew(spark):
     """The two-phase salted degree count is exact under hub skew: one node
     participating in 10k edges vs a long tail of degree-1 nodes."""
