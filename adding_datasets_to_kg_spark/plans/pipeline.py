@@ -275,7 +275,7 @@ def _finalize_graph(
     norm_map: DataFrame,
     predicate_map: DataFrame | None,
     ambiguous_targets: list[str],
-    max_inset_ids: int = 100_000,
+    max_inset_ids: int = 1_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Stage 5 over pre-remap edges: endpoint remap + predicate rewrite +
     dedup, splitting the triple stream ONCE with a pure-expression membership
@@ -310,7 +310,12 @@ def _finalize_graph(
     Scale guard: inlining the norm map into the plan is only sane while it is
     dictionary-sized. Past ``max_inset_ids`` raw ids, fall back to the
     broadcast-join targeted operators — same results, no driver collect of
-    the id universe, plan size stays bounded.
+    the id universe, plan size stays bounded. The 1,000-id default is the
+    MEASURED crossover (jobs/bench_inset_crossover.py, 4M persisted edges,
+    local[32]: InSet 1.4/1.5/1.8/2.4s at 100/250/500/1k ids vs a flat ~3.1s
+    for the join path; at 2k ids InSet loses at 4.0s and degrades linearly —
+    77s at 50k — because the py4j literal construction and per-task plan
+    deserialization scale with the id count while hash-set probing does not).
 
     Node side, same trick: ``build_nodes_for_edges`` emits unique ids, so
     only canonical targets can collide after the node remap; an ``InSet``

