@@ -116,7 +116,9 @@ def ordered_turns(transcripts: DataFrame) -> DataFrame:
     return transcripts.withColumn("turn_rank", F.row_number().over(w))
 
 
-def extract_linked_mentions(transcripts: DataFrame, lex: Lexicons) -> DataFrame:
+def extract_linked_mentions(
+    transcripts: DataFrame, lex: Lexicons, keep_term: bool = True
+) -> DataFrame:
     """Stages 1-2: narrow projection → partition by conv_id → mention UDF →
     explode → link.
 
@@ -132,11 +134,27 @@ def extract_linked_mentions(transcripts: DataFrame, lex: Lexicons) -> DataFrame:
     extraction re-plans the exchange and the subset-key satisfies check is
     defeated (verified empirically: repartition-before-UDF plans 3
     exchanges, repartition-after plans 1). With an Iceberg bucket(conv_id)
-    layout + storage-partitioned reads this shuffle disappears too."""
+    layout + storage-partitioned reads this shuffle disappears too.
+
+    ``keep_term=False`` (the pipeline's own mode) replaces the term string
+    with a 4-byte ``term_len`` BEFORE the conv_id exchange: every downstream
+    consumer keeps only (conv, turn, entity), so the corpus-proportional
+    mention shuffle and the link aggregate's min_by buffers never carry the
+    surface forms they are about to discard. Winner selection is unchanged
+    (the tiebreak key only ever used length(term))."""
     narrow = transcripts.select("conv_id", "turn_idx", "text")
     with_mentions = detect_mentions(narrow, lex.broadcast_entries())
     mentions = explode_mentions(with_mentions, ["conv_id", "turn_idx"])
-    return link_best_candidate(mentions.repartition("conv_id"))
+    if not keep_term:
+        mentions = mentions.select(
+            "conv_id",
+            "turn_idx",
+            "token_pos",
+            "entity_id",
+            "entity_type",
+            F.length("term").alias("term_len"),
+        )
+    return link_best_candidate(mentions.repartition("conv_id"), keep_term=keep_term)
 
 
 def emit_triples(linked: DataFrame, lex: Lexicons) -> DataFrame:
@@ -428,7 +446,7 @@ def run_pipeline(
     from pyspark import StorageLevel
 
     linked = (
-        extract_linked_mentions(transcripts, lex)
+        extract_linked_mentions(transcripts, lex, keep_term=False)
         .select("conv_id", "turn_idx", "entity_id", "entity_type")
         .dropDuplicates()
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -549,7 +567,7 @@ def run_pipeline_checkpointed(
             continue
         part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
         linked = (
-            extract_linked_mentions(part, lex)
+            extract_linked_mentions(part, lex, keep_term=False)
             .select("conv_id", "turn_idx", "entity_id", "entity_type")
             .dropDuplicates()
             .localCheckpoint(eager=True)  # eager: emit branches run concurrently

@@ -70,7 +70,7 @@ def stream_triples(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         linked = (
-            extract_linked_mentions(batch_df, lex)
+            extract_linked_mentions(batch_df, lex, keep_term=False)
             .select("conv_id", "turn_idx", "entity_id", "entity_type")
             .dropDuplicates()
             .localCheckpoint(eager=True)  # emit branches fan out concurrently

@@ -343,6 +343,28 @@ def test_load_lexicons_from_parquet_dir(spark, tmp_path, corpus, lex):
     assert key(got["edges"]) == key(want["edges"])
 
 
+def test_lean_linking_equals_full_linking(spark, corpus, lex):
+    """keep_term=False (the pipeline's shuffle-lean projection — term_len
+    int instead of the term string through the conv_id exchange and the
+    min_by buffers) must pick the IDENTICAL winners as the term-keeping
+    mode: the tiebreak key (-length(term), entity_id) is unchanged, so the
+    outputs agree exactly on every non-term column."""
+    from adding_datasets_to_kg_spark.plans.pipeline import extract_linked_mentions
+
+    full = extract_linked_mentions(corpus, lex, keep_term=True)
+    lean = extract_linked_mentions(corpus, lex, keep_term=False)
+    cols = ["conv_id", "turn_idx", "token_pos", "entity_id", "entity_type"]
+    assert sorted(lean.columns) == sorted(cols)
+
+    def rows(df):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    got_full = rows(full.select(*cols))
+    got_lean = rows(lean)
+    assert got_full == got_lean
+    assert got_lean  # fixture actually produced mentions
+
+
 def test_graph_metadata_matches_committed_golden(result):
     """Golden-stats fidelity: the full pipeline's metadata over the fixed
     fixture corpus (n_convs=40, seed=7) must equal the committed golden JSON
