@@ -84,8 +84,11 @@ def refine_centroids(c: DataFrame, centroids: DataFrame, n_iters: int = 1,
     """
     from ..session import no_wholestage_codegen, persistent_rdd_ids, unpersist_new_rdds
 
+    if n_iters <= 0:
+        return centroids
     spark = c.sparkSession
     before = persistent_rdd_ids(spark)
+    mid = before
     for _ in range(n_iters):
         assign = _assign_cells(c, centroids, id_col, dim)
         dims = c.join(assign, id_col).select(

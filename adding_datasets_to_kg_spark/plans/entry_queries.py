@@ -1447,7 +1447,12 @@ def q_text_langid(spark, sf_dir):
 
     ``lang_ngram`` thresholds the ROUNDED ratio (the output column) in both
     engines — referencing the raw ratio expression twice would inline the
-    30-replace chain twice per row (measured 2× on this entry)."""
+    30-replace chain twice per row (measured 2× on this entry). Boundary
+    semantics: a doc with raw ratio in [0.03995, 0.04) rounds to 0.0400 and
+    labels 'en' where an exact comparison would say 'unknown', and exact
+    4-dp ties depend on each engine's ROUND tie-break (Spark HALF_UP); the
+    shift affects only measure-zero boundary docs and is identical in the
+    checked output column, which is what the oracle hashes."""
     d = _t(spark, sf_dir, "documents")
     lt = F.lower(F.col("text"))
     n_slots = F.greatest(F.length(lt) - 2, F.lit(0))

@@ -56,7 +56,17 @@ def unpersist_new_rdds(spark: SparkSession, before: set[int], keep: set[int] = f
     """Release every pinned RDD created since ``before`` was snapshotted,
     except ids in ``keep`` (typically the operator's own small checkpointed
     result). Non-blocking. Safe for localCheckpointed intermediates that are
-    fully consumed: their blocks are never read again."""
+    fully consumed: their blocks are never read again.
+
+    WARNING — single-threaded sessions only. The snapshot/diff is over
+    GLOBAL block-manager state: if another thread pins an RDD between
+    ``before`` and this call, its blocks are released too, and for a
+    localCheckpointed RDD the lineage is already truncated, so that is an
+    unrecoverable job failure (not a recompute). Every current call site
+    runs its snapshot → materialize → release sequence sequentially on the
+    driver thread; keep it that way, or switch callers to tracking the exact
+    ids created by each localCheckpoint (diff immediately after the
+    checkpoint call) before introducing driver-side concurrency."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for jrdd in list(jmap.values()):
         rid = jrdd.id()

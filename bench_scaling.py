@@ -70,23 +70,50 @@ def run_child(cpus: int, n_turns: int) -> None:
         memory channels. BENCH.md §1e shows raw efficiency ≈ 1/inflation."""
         import glob
 
-        ticks = 0
         me = str(os.getpid())
+        # pid -> (ppid, kind, ticks). Daemons also accumulate cutime/cstime
+        # (fields 15/16): pyspark workers that exit between two snapshots are
+        # reaped into the daemon's child counters — without them the delta
+        # loses every worker that died mid-interval. Delta accounting stays
+        # correct for such workers: counted directly while alive, via the
+        # daemon's cutime after death.
+        procs: dict[str, tuple[str, str, int]] = {}
         for d in glob.glob("/proc/[0-9]*/cmdline"):
             try:
                 cmd = open(d, "rb").read()
                 stat_path = d[: -len("cmdline")] + "stat"
                 if b"pyspark.daemon" in cmd:
-                    st = open(stat_path).read().split()
+                    kind = "daemon"
                 elif b"java" in cmd.split(b"\0", 1)[0]:
-                    st = open(stat_path).read().split()
-                    if st[3] != me:  # only THIS child's JVM (ppid == us)
-                        continue
+                    kind = "java"
                 else:
                     continue
-                ticks += int(st[13]) + int(st[14])
+                st = open(stat_path).read().split()
+                t = int(st[13]) + int(st[14])
+                if kind == "daemon":
+                    t += int(st[15]) + int(st[16])
+                procs[d.split("/")[2]] = (st[3], kind, t)
             except OSError:
                 continue
+        # Ancestry filter: count only THIS child's JVM (ppid == us) and
+        # daemons/workers descending from it — another Spark app's daemons on
+        # the same host must not leak into the delta.
+        ticks = 0
+        for pid, (ppid, kind, t) in procs.items():
+            if kind == "java":
+                if ppid == me:
+                    ticks += t
+                continue
+            p = ppid
+            for _ in range(5):  # worker -> daemon -> JVM -> us
+                ent = procs.get(p)
+                if ent is None:
+                    break
+                if ent[1] == "java":
+                    if ent[0] == me:
+                        ticks += t
+                    break
+                p = ent[0]
         return ticks / os.sysconf("SC_CLK_TCK")
 
     def one_run(n: int) -> tuple[float, int, float]:

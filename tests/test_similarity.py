@@ -94,3 +94,21 @@ def test_unrolled_vector_math_rejects_wrong_dimension(spark):
     pair = df.alias("a").join(df.alias("b"), F.col("a.id") < F.col("b.id"))
     with pytest.raises(Exception, match="dimension 64"):
         pair.select(cosine_unrolled("a.v", "b.v").alias("c")).collect()
+
+
+def test_refine_centroids_zero_iters_is_noop(spark):
+    """n_iters=0 must return the seed centroids unchanged (regression: `mid`
+    was only bound inside the loop, so a direct 0-iteration call raised
+    NameError instead of no-op-ing)."""
+    from adding_datasets_to_kg_spark.functions.vectors import as_double
+    from adding_datasets_to_kg_spark.operators.similarity import refine_centroids
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c = embs.select(F.col("vec_id"), as_double("embedding").alias("v"))
+    seeds = embs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), as_double("embedding").alias("centroid")
+    )
+    out = refine_centroids(c, seeds, n_iters=0)
+    assert {r.cell_id: r.centroid for r in out.collect()} == {
+        r.cell_id: r.centroid for r in seeds.collect()
+    }
