@@ -224,17 +224,25 @@ def normalize_predicates(edges: DataFrame, predicate_map: DataFrame) -> DataFram
     )
 
 
-def remap_edge_endpoints(edges: DataFrame, norm_map: DataFrame) -> DataFrame:
+def remap_edge_endpoints(
+    edges: DataFrame, norm_map: DataFrame, norm_map_rows: int | None = None
+) -> DataFrame:
     """G3: rewrite subject/object to canonical ids, keeping originals
     (convert_for_neptune_bulk.py:76-77,98-99 column contract).
 
-    The norm map is dictionary-sized by construction (its key space is the
-    entity-id universe, not the transcript universe), but it reaches here
-    through localCheckpointed CC output whose size Catalyst can't estimate —
-    without an explicit hint both joins planned as 64/128-task sort-merge
-    joins over a 30-row table. Broadcast explicitly.
+    The norm map is usually dictionary-sized (its key space is the entity-id
+    universe, not the transcript universe), but it reaches here through
+    localCheckpointed CC output whose size Catalyst can't estimate — without
+    an explicit hint both joins planned as 64/128-task sort-merge joins over
+    a 30-row table. Broadcast explicitly, SIZE-GUARDED: callers that have
+    counted the map (the pipeline counts its checkpointed map once) pass
+    ``norm_map_rows``, and past ``hints.MAX_BROADCAST_HINT_ROWS`` the hint
+    is dropped so a 100×-entity-universe map cannot force an unbounded
+    broadcast build (AQE then picks from runtime stats).
     """
-    nm = F.broadcast(norm_map.select("id", "canonical_id"))
+    from ..hints import guarded_broadcast
+
+    nm = guarded_broadcast(norm_map.select("id", "canonical_id"), norm_map_rows)
     subj = nm.withColumnRenamed("id", "subject").withColumnRenamed(
         "canonical_id", "_subj_canon"
     )

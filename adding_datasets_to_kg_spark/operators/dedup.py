@@ -421,15 +421,23 @@ def simhash64_block_sql(lo: int, hi: int, col_prefix: str = "b") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def dedup_simhash64(docs: DataFrame, max_hamming: int = 6,
+def dedup_simhash64(docs: DataFrame, max_hamming: int = 3,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by 64-bit simhash block-combination Hamming join.
 
     Candidates agree on all 3 blocks of ≥1 of the 20 3-of-6 block
-    combinations (guaranteed complete for Hamming ≤ 3 by pigeonhole;
-    high-recall beyond), then an exact Hamming recheck over the full
-    fingerprint keeps pairs with distance ≤ max_hamming.
-    Output: (id_a, id_b, hamming).
+    combinations (guaranteed complete for Hamming ≤ 3 by pigeonhole),
+    then an exact Hamming recheck over the full fingerprint keeps pairs
+    with distance ≤ max_hamming. Output: (id_a, id_b, hamming).
+
+    RECALL CONTRACT: the default ``max_hamming=3`` matches the candidate
+    scheme's completeness bound — every true pair at distance ≤ 3 is
+    returned (gated by tests/test_dedup.py against brute force). Callers
+    MAY pass ``max_hamming`` up to 6; distances 4-6 are then best-effort
+    (no false pairs, exact hamming values, but partial recall — measured
+    0.44 at Hamming 4-6 on the sf0.01 documents table). Completeness for
+    ≤ k generally needs C(b, b-k) block tables of b blocks; for exact ≤ 6
+    recall use the LSH/ngram strategies or grow the block scheme.
 
     Scale shape: fingerprint table materialized once (localCheckpoint),
     candidate equi-join on (table_idx, 3-block key) — ~32-bit key space
@@ -544,11 +552,19 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.8,
     Hot-shingle defense (the 100 TB scale-killer): shingles appearing in
     more than ``max_df`` documents are dropped BEFORE the posting-list
     self-join — a boilerplate trigram shared by 1M docs would otherwise
-    produce a 10¹²-row bucket. The hot set is anti-joined (it is tiny by
-    construction: ≤ total_postings / max_df entries, broadcastable), and
-    sizes/Jaccard are computed over the surviving shingle space — i.e. hot
-    shingles are treated like stopwords, deterministically on both the Spark
-    and oracle sides.
+    produce a 10¹²-row bucket. The hot set is anti-joined, and sizes/Jaccard
+    are computed over the surviving shingle space — i.e. hot shingles are
+    treated like stopwords, deterministically on both the Spark and oracle
+    sides.
+
+    The hot-set anti-join carries NO forced broadcast hint: its worst-case
+    bound (≤ total_postings / max_df entries) is not small at corpus scale
+    — 10¹² postings at max_df=5 admits 2×10¹¹ entries, and
+    boilerplate-heavy corpora (exactly where the cutoff matters) are the
+    case that inflates it. AQE broadcasts from runtime stats when the set
+    actually fits autoBroadcastJoinThreshold (it does at every tested SF)
+    and falls back to a shuffled join when it doesn't — same result either
+    way (plan-equivalence pinned in tests/test_dedup.py).
     """
     sh = shingle_rows(docs, text_col, id_col, shingle_n)
     if max_df is not None:
@@ -558,7 +574,7 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.8,
             .filter(F.col("df") > max_df)
             .select("s")
         )
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+        sh = sh.join(hot, "s", "left_anti")
     # Materialize the (filtered) posting list once for its three consumers
     # (sizes + both self-join sides) — MEMORY_AND_DISK persist, not
     # localCheckpoint: the posting list is corpus-scale, so spill-when-needed

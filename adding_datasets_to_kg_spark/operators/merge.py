@@ -97,6 +97,7 @@ def merge_nodes_targeted(
     nodes: DataFrame,
     maybe_dup_ids: DataFrame,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    maybe_dup_rows: int | None = None,
 ) -> DataFrame:
     """Node merge restricted to ids that CAN collide.
 
@@ -128,8 +129,16 @@ def merge_nodes_targeted(
     shuffle on the big side) and the aggregate runs over thousands of rows
     instead of tens of millions. Measured on the e2e bench: the node
     merge+write phase dropped from ~157 s to seconds at 32M turns.
+
+    ``maybe_dup_rows``: measured row count of ``maybe_dup_ids`` when the
+    caller has one — the broadcast hint is dropped past
+    ``hints.MAX_BROADCAST_HINT_ROWS`` so a corpus-grown collide-set cannot
+    force an unbounded broadcast (AQE then decides; the split still avoids
+    aggregating the untouched bulk).
     """
-    ids = F.broadcast(maybe_dup_ids.select("id").distinct())
+    from ..hints import guarded_broadcast
+
+    ids = guarded_broadcast(maybe_dup_ids.select("id").distinct(), maybe_dup_rows)
     to_merge = nodes.join(ids, "id", "left_semi")
     untouched = nodes.join(ids, "id", "left_anti")
     return merge_nodes(to_merge, salt_buckets).unionByName(
@@ -153,6 +162,7 @@ def dedup_edges_targeted(
     edges: DataFrame,
     maybe_dup_endpoints: DataFrame,
     ambiguous_predicates: list[str] | tuple[str, ...] = (),
+    endpoint_rows: int | None = None,
 ) -> DataFrame:
     """Post-canonicalization edge dedup restricted to edges that CAN collide.
 
@@ -176,17 +186,22 @@ def dedup_edges_targeted(
     Scale: canonical-id membership is two broadcast joins (no shuffle on the
     big side); the dedup aggregate then moves only the collision-capable
     subset — the edges touching equivalence-clique entities — instead of the
-    full corpus-proportional triple stream.
+    full corpus-proportional triple stream. ``endpoint_rows`` size-guards
+    the two membership broadcasts the same way as ``merge_nodes_targeted``.
     """
-    cap_s = F.broadcast(
+    from ..hints import guarded_broadcast
+
+    cap_s = guarded_broadcast(
         maybe_dup_endpoints.select(F.col("id").alias("subject"))
         .distinct()
-        .withColumn("_cap_s", F.lit(True))
+        .withColumn("_cap_s", F.lit(True)),
+        endpoint_rows,
     )
-    cap_o = F.broadcast(
+    cap_o = guarded_broadcast(
         maybe_dup_endpoints.select(F.col("id").alias("object"))
         .distinct()
-        .withColumn("_cap_o", F.lit(True))
+        .withColumn("_cap_o", F.lit(True)),
+        endpoint_rows,
     )
     flagged = edges.join(cap_s, "subject", "left").join(cap_o, "object", "left")
     cap = F.coalesce("_cap_s", F.lit(False)) | F.coalesce("_cap_o", F.lit(False))

@@ -253,15 +253,21 @@ def canonicalize_graph(
         return nodes, edges, None, None
     norm_map, failures = normalization_map(nodes, lex.id_equivalences)
     # Materialize once: three consumers below (subject remap, object remap,
-    # node join) would each re-run the CC-derived plan otherwise.
+    # node join) would each re-run the CC-derived plan otherwise. The count
+    # is ~free on the checkpointed blocks and size-guards every downstream
+    # broadcast hint (hints.guarded_broadcast) — the norm map tracks the
+    # observed entity universe, which is NOT bounded at 100 TB.
     norm_map = norm_map.localCheckpoint(eager=True)
+    n_norm = norm_map.count()
     if remap_edges:
-        edges = remap_edge_endpoints(edges, norm_map)
+        edges = remap_edge_endpoints(edges, norm_map, norm_map_rows=n_norm)
         if lex.predicate_map is not None:
             edges = normalize_predicates(edges, lex.predicate_map)
-    # Dictionary-sized (entity-id universe) → broadcast; see
-    # remap_edge_endpoints for why the hint is explicit.
-    nm = F.broadcast(norm_map.select("id", "canonical_id", "equivalent_identifiers"))
+    from ..hints import guarded_broadcast
+
+    nm = guarded_broadcast(
+        norm_map.select("id", "canonical_id", "equivalent_identifiers"), n_norm
+    )
     nodes = (
         nodes.join(nm, "id", "left")
         .select(
@@ -340,13 +346,17 @@ def _finalize_graph(
     split replaces ``merge_nodes_targeted``'s semi/anti joins.
     """
     canon_ids_df = norm_map.select(F.col("canonical_id").alias("id"))
-    if norm_map.count() > max_inset_ids:
-        edges = remap_edge_endpoints(edges, norm_map)
+    n_norm = norm_map.count()
+    if n_norm > max_inset_ids:
+        edges = remap_edge_endpoints(edges, norm_map, norm_map_rows=n_norm)
         if predicate_map is not None:
             edges = normalize_predicates(edges, predicate_map)
+        # canonical-id projection is ≤ n_norm rows — the same measured count
+        # guards the membership broadcasts inside both targeted operators
         return (
-            merge_nodes_targeted(nodes, canon_ids_df),
-            dedup_edges_targeted(edges, canon_ids_df, ambiguous_targets),
+            merge_nodes_targeted(nodes, canon_ids_df, maybe_dup_rows=n_norm),
+            dedup_edges_targeted(edges, canon_ids_df, ambiguous_targets,
+                                 endpoint_rows=n_norm),
         )
 
     rows = norm_map.select("id", "canonical_id").collect()
@@ -369,7 +379,7 @@ def _finalize_graph(
     # NULL drop them from both filter branches.
     touch = F.coalesce(touch, F.lit(True))
 
-    touched = remap_edge_endpoints(edges.filter(touch), norm_map)
+    touched = remap_edge_endpoints(edges.filter(touch), norm_map, norm_map_rows=n_norm)
     if predicate_map is not None:
         touched = normalize_predicates(touched, predicate_map)
     touched = dedup_edges(touched)

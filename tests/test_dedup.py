@@ -165,3 +165,54 @@ def test_survivors_match_brute_clustering(spark):
     # singletons 4,6,7,8 survive with size 1
     want = {(0, 3), (1, 3), (10, 2), (4, 1), (6, 1), (7, 1), (8, 1)}
     assert got == want
+
+
+def test_simhash64_recall_contract_vs_bruteforce_sf001(spark):
+    """The documented recall contract (dedup.py): complete at Hamming <= 3
+    (the 3-of-6 pigeonhole bound — also the API default), partial at 4-6
+    (measured 0.44 on this deterministic table; gate at a 0.4 floor).
+    Soundness everywhere: no false pairs, exact hamming values."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fp = simhash64_fingerprints(docs).localCheckpoint(eager=True)
+    fa = fp.select(F.col("doc_id").alias("id_a"),
+                   *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)])
+    fb = fp.select(F.col("doc_id").alias("id_b"),
+                   *[F.col(f"b{i}").alias(f"c{i}") for i in range(4)])
+    ham = sum(F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(4))
+    brute = {
+        (r.id_a, r.id_b): r.hamming
+        for r in fa.join(fb, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup_simhash64(docs, max_hamming=6).collect()
+    }
+    # soundness: subset with exact distances
+    for k, h in got.items():
+        assert brute[k] == h
+    # completeness at <= 3 (the default's contract)
+    lo_brute = {k for k, h in brute.items() if h <= 3}
+    assert lo_brute <= set(got)
+    # measured partial recall at 4-6
+    hi_brute = {k for k, h in brute.items() if 4 <= h <= 6}
+    hi_got = {k for k, h in got.items() if 4 <= h <= 6}
+    assert hi_brute, "fixture regression: no 4-6 pairs to measure"
+    recall = len(hi_brute & hi_got) / len(hi_brute)
+    assert 0.4 <= recall < 1.0, f"recall at hamming 4-6: {recall:.3f}"
+
+
+def test_simhash64_default_matches_completeness_bound(spark):
+    """Default max_hamming is 3 — callers get the complete regime unless
+    they opt into best-effort 4-6 explicitly."""
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").filter("doc_id < 200")
+    out = dedup_simhash64(docs)
+    assert out.filter("hamming > 3").count() == 0
+    explicit = {
+        (r.id_a, r.id_b) for r in dedup_simhash64(docs, max_hamming=3).collect()
+    }
+    assert {(r.id_a, r.id_b) for r in out.collect()} == explicit
