@@ -13,21 +13,33 @@ Layout for a table written with bucket(conv_id, N):
 
 Partition pruning: readers filtering on a conv_id can compute its bucket and
 read only that directory — the Iceberg bucket-transform behavior.
+
+All driver-side metadata I/O (manifest write/read, bucket-dir existence
+probes) goes through :mod:`fsio` — the Hadoop FileSystem API — so a
+``file:``, ``hdfs:`` or ``s3a:`` root behaves identically. Driver-local
+``os.*`` (the round-3 implementation) silently broke on any non-local root:
+manifests landed on the driver's disk next to data on HDFS, and pruning
+probes reported every bucket absent.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fsio
+
 
 def bucket_expr(col: str, n_buckets: int) -> F.Column:
     """Deterministic bucket id (Iceberg-style hash bucket transform)."""
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+def _table_path(root: str, name: str) -> str:
+    return f"{root.rstrip('/')}/{name}"
 
 
 def write_table(
@@ -38,14 +50,13 @@ def write_table(
     n_buckets: int = 16,
     mode: str = "overwrite",
 ) -> str:
-    path = os.path.join(root, name)
-    data_path = os.path.join(path, "data")
+    path = _table_path(root, name)
     (
         df.withColumn("bucket", bucket_expr(bucket_col, n_buckets))
         .repartition("bucket")
         .write.mode(mode)
         .partitionBy("bucket")
-        .parquet(data_path)
+        .parquet(f"{path}/data")
     )
     manifest = {
         "name": name,
@@ -54,9 +65,11 @@ def write_table(
         "partition_spec": {"transform": "bucket", "col": bucket_col, "n": n_buckets},
         "snapshot_ts": int(time.time() * 1000),
     }
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
+    # write-then-rename through the Hadoop FS API: readers polling the root
+    # never observe a half-written manifest, on any URI scheme
+    fsio.write_text_atomic(
+        df.sparkSession, f"{path}/manifest.json", json.dumps(manifest, indent=2)
+    )
     return path
 
 
@@ -73,22 +86,23 @@ def read_table(
     """
     from pyspark.sql.types import StructType
 
-    data_path = os.path.join(root, name, "data")
+    data_path = f"{_table_path(root, name)}/data"
     if buckets is None:
         return spark.read.option("basePath", data_path).parquet(data_path)
     paths = [
         p
         for b in buckets
-        if os.path.exists(p := os.path.join(data_path, f"bucket={b}"))
+        if fsio.exists(spark, p := f"{data_path}/bucket={b}")
     ]
     if not paths:
-        schema = StructType.fromJson(read_manifest(root, name)["schema"])
+        schema = StructType.fromJson(read_manifest(spark, root, name)["schema"])
         empty = spark.createDataFrame([], schema)
         # partition column materializes on real reads; keep shape identical
         return empty.withColumn("bucket", F.lit(None).cast("int"))
     return spark.read.option("basePath", data_path).parquet(*paths)
 
 
-def read_manifest(root: str, name: str) -> dict:
-    with open(os.path.join(root, name, "manifest.json")) as f:
-        return json.load(f)
+def read_manifest(spark: SparkSession, root: str, name: str) -> dict:
+    return json.loads(
+        fsio.read_text(spark, f"{_table_path(root, name)}/manifest.json")
+    )

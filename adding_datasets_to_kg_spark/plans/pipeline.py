@@ -400,6 +400,22 @@ def _finalize_graph(
     return nodes_out, edges_out
 
 
+def _write_graph_tables(nodes: DataFrame, edges: DataFrame, output_dir: str,
+                        n_buckets: int = 16) -> None:
+    """Materialize the goldenKG node/edge tables in the Iceberg-style layout
+    (icetable.write_table): bucketed on the join/lookup key (nodes on id,
+    edges on subject), manifest + data dirs under
+    ``<output_dir>/kg_{nodes,edges}``, every path through the Hadoop FS API
+    so file:/hdfs:/s3a: output roots behave identically. Readers prune by
+    bucket (icetable.read_table(buckets=[...])) — the Iceberg
+    bucket-transform contract the north rule asks the materialized graph to
+    carry."""
+    from ..icetable import write_table
+
+    write_table(nodes, output_dir, "kg_nodes", bucket_col="id", n_buckets=n_buckets)
+    write_table(edges, output_dir, "kg_edges", bucket_col="subject", n_buckets=n_buckets)
+
+
 def write_graph_artifacts(out: dict, lex: Lexicons, output_dir: str,
                           graph_id: str = "graph") -> None:
     """Persist the inspectable normalization/metadata artifacts the reference
@@ -500,8 +516,7 @@ def run_pipeline(
     if compute_metadata:
         out["metadata"] = graph_metadata(nodes, edges)
     if output_dir:
-        nodes.write.mode("overwrite").parquet(f"{output_dir.rstrip(chr(47))}/kg_nodes")
-        edges.write.mode("overwrite").parquet(f"{output_dir.rstrip(chr(47))}/kg_edges")
+        _write_graph_tables(nodes, edges, output_dir)
         write_graph_artifacts(out, lex, output_dir, graph_id)
     return out
 
@@ -628,8 +643,7 @@ def run_pipeline_checkpointed(
         )
     else:
         nodes = merge_nodes(nodes)
-    nodes.write.mode("overwrite").parquet(f"{output_dir.rstrip(chr(47))}/kg_nodes")
-    edges.write.mode("overwrite").parquet(f"{output_dir.rstrip(chr(47))}/kg_edges")
+    _write_graph_tables(nodes, edges, output_dir)
     out = {"nodes": nodes, "edges": edges, "norm_map": norm_map, "failures": failures}
     if compute_metadata:
         out["metadata"] = graph_metadata(nodes, edges)

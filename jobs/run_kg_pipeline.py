@@ -109,8 +109,12 @@ def main() -> None:
     # already — reuse it, don't re-run the 6 metadata actions
     md = out.get("metadata") or graph_metadata(out["nodes"], out["edges"])
     md["wall_sec"] = round(time.time() - t0, 2)
-    with open(f"{args.output.rstrip('/')}/metadata.json", "w") as f:
-        json.dump(md, f, indent=2)
+    # through the Hadoop FS API: --output may be an hdfs:/s3a: root
+    from adding_datasets_to_kg_spark import fsio
+
+    fsio.write_text_atomic(
+        spark, f"{args.output.rstrip('/')}/metadata.json", json.dumps(md, indent=2)
+    )
     print(json.dumps(md))
 
 

@@ -509,3 +509,27 @@ def test_combine_bucket_triples_keeps_null_subject_rows(spark):
         ("NCBIGene:7157", None, "DOID:1612"),
         ("NCBIGene:7157", "biolink:gene_associated_with_condition", "DOID:1612"),
     ], key=key)
+
+
+def test_pipeline_output_readable_via_icetable(tmp_path, corpus, lex, spark):
+    """kg_nodes/kg_edges are materialized in the Iceberg-style bucketed
+    layout: read back through icetable.read_table, row counts match the
+    returned DataFrames, and bucket pruning on a node id recovers the row
+    from one partition directory."""
+    from adding_datasets_to_kg_spark.icetable import bucket_expr, read_manifest, read_table
+
+    out_dir = str(tmp_path / "ice")
+    res = run_pipeline(corpus, lex, output_dir=out_dir, compute_metadata=False)
+    nodes = read_table(spark, out_dir, "kg_nodes")
+    edges = read_table(spark, out_dir, "kg_edges")
+    assert nodes.count() == res["nodes"].count()
+    assert edges.count() == res["edges"].count()
+    assert read_manifest(spark, out_dir, "kg_nodes")["partition_spec"]["col"] == "id"
+
+    some_id = res["nodes"].select("id").orderBy("id").first()[0]
+    n_buckets = read_manifest(spark, out_dir, "kg_nodes")["partition_spec"]["n"]
+    b = spark.createDataFrame([(some_id,)], "id string").select(
+        bucket_expr("id", n_buckets)
+    ).first()[0]
+    pruned = read_table(spark, out_dir, "kg_nodes", buckets=[b])
+    assert pruned.filter(F.col("id") == some_id).count() == 1
