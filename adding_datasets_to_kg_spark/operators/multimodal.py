@@ -9,8 +9,11 @@ fall back to a clearly-marked deterministic stub, so the Spark-side
 contract (schema, batch iteration, partition sizing, UDF signatures) is
 identical on both paths and the synthetic-corpus oracles stay
 reproducible (synthetic payloads are utf-8 text, never decodable images).
-Audio/video decode remains stubbed (librosa/ffmpeg are heavyweight native
-deps; same fallback structure applies when they are added).
+Audio decode is real when ``soundfile`` is importable (``HAS_AUDIO``) and
+video decode when PyAV is (``HAS_VIDEO``) — same gating structure: absent
+lib or undecodable payload → the deterministic stub, identical Spark-side
+contract either way. Neither lib ships in this container, so the real
+paths are exercised by skipif-gated tests (tests/test_multimodal.py).
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` low enough that
@@ -34,6 +37,22 @@ except ImportError:  # pragma: no cover - exercised when Pillow is installed
     _PILImage = None
     HAS_PIL = False
 
+try:  # optional dependency — audio decode (same gating pattern as Pillow)
+    import soundfile as _soundfile
+
+    HAS_AUDIO = True
+except ImportError:  # pragma: no cover - exercised when soundfile is installed
+    _soundfile = None
+    HAS_AUDIO = False
+
+try:  # optional dependency — video decode via PyAV/ffmpeg
+    import av as _av
+
+    HAS_VIDEO = True
+except ImportError:  # pragma: no cover - exercised when PyAV is installed
+    _av = None
+    HAS_VIDEO = False
+
 
 def decode_image(payload: bytes):
     """Decode an image payload to an RGB numpy array (H, W, 3), or None when
@@ -49,6 +68,48 @@ def decode_image(payload: bytes):
     try:
         with _PILImage.open(io.BytesIO(bytes(payload))) as im:
             return np.asarray(im.convert("RGB"))
+    except Exception:  # noqa: BLE001 — any undecodable payload → stub path
+        return None
+
+
+def decode_audio(payload: bytes):
+    """Decode an audio payload to (mono float32 samples, sample_rate), or
+    None when the payload is not decodable audio or soundfile is absent —
+    the signal to take the deterministic stub path (mirrors
+    :func:`decode_image`)."""
+    if not HAS_AUDIO or payload is None:
+        return None
+    import io
+
+    try:
+        samples, sr = _soundfile.read(io.BytesIO(bytes(payload)), dtype="float32")
+        if samples.ndim > 1:  # downmix to mono for the feature contract
+            samples = samples.mean(axis=1)
+        return samples, int(sr)
+    except Exception:  # noqa: BLE001 — any undecodable payload → stub path
+        return None
+
+
+def decode_video_frames(payload: bytes, frame_stride_ms: int = 1000):
+    """Decode a video payload to a list of (ms, rgb ndarray) sampled every
+    ``frame_stride_ms``, or None when the payload is not decodable video or
+    PyAV is absent. Decoding streams the container once; only the sampled
+    frames are materialized (bounded by duration / stride)."""
+    if not HAS_VIDEO or payload is None:
+        return None
+    import io
+
+    try:
+        frames = []
+        with _av.open(io.BytesIO(bytes(payload))) as container:
+            stream = container.streams.video[0]
+            next_ms = 0
+            for frame in container.decode(stream):
+                ms = int((frame.pts or 0) * float(stream.time_base) * 1000)
+                if ms >= next_ms:
+                    frames.append((ms, frame.to_ndarray(format="rgb24")))
+                    next_ms += frame_stride_ms
+        return frames or None
     except Exception:  # noqa: BLE001 — any undecodable payload → stub path
         return None
 
@@ -102,8 +163,12 @@ def _fake_decode(payload: bytes, kind: str) -> list[float]:
 
 
 def _decode_features(payload: bytes, kind: str) -> list[float]:
-    """Real-decode feature path: pixel statistics for decodable images
-    (same 8-dim contract as the stub), stub for everything else."""
+    """Real-decode feature path per modality — pixel statistics for
+    decodable images, waveform statistics for decodable audio, first-frame
+    statistics for decodable video — all on the same 8-dim contract as the
+    stub (index 6 = decoded-for-real marker). Undecodable payloads, and
+    every payload when the modality's optional lib is absent, take the
+    deterministic stub."""
     if kind == "image":
         arr = decode_image(payload)
         if arr is not None:
@@ -116,6 +181,36 @@ def _decode_features(payload: bytes, kind: str) -> list[float]:
                 float(means[1]),
                 float(means[2]),
                 float(arr.std()),
+                1.0,  # decoded-for-real marker
+                float(len(payload) % 256),
+            ]
+    elif kind == "audio":
+        decoded = decode_audio(payload)
+        if decoded is not None:
+            samples, sr = decoded
+            n = int(samples.shape[0])
+            return [
+                float(n),
+                float(sr),
+                float(samples.mean()) if n else 0.0,
+                float(samples.std()) if n else 0.0,
+                float(abs(samples).max()) if n else 0.0,
+                float(n / sr) if sr else 0.0,  # duration seconds
+                1.0,  # decoded-for-real marker
+                float(len(payload) % 256),
+            ]
+    elif kind == "video":
+        frames = decode_video_frames(payload)
+        if frames:
+            _, first = frames[0]
+            h, w = int(first.shape[0]), int(first.shape[1])
+            return [
+                float(h),
+                float(w),
+                float(len(frames)),
+                float(first.mean()),
+                float(first.std()),
+                float(frames[-1][0]),  # last sampled timestamp ms
                 1.0,  # decoded-for-real marker
                 float(len(payload) % 256),
             ]
@@ -183,29 +278,52 @@ FRAME_SCHEMA = "media_id long, frame_idx int, frame_ms int, frame_payload binary
 
 def sample_frames(media: DataFrame, frame_stride_ms: int = 1000) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled timestamp
-    (explode-shaped mapInPandas — rows out ≠ rows in). Frame extraction is
-    STUBBED (no ffmpeg): the stand-in slices a deterministic byte window per
-    frame; the Spark-side plumbing — per-row fan-out, binary frame payloads,
-    batch streaming — is the real contract a decoder plugs into.
+    (explode-shaped mapInPandas — rows out ≠ rows in). Decodable payloads
+    sample REAL frames through PyAV when installed (HAS_VIDEO); undecodable
+    payloads — and everything when PyAV is absent, as in this container —
+    take a deterministic byte-window stand-in. The Spark-side plumbing —
+    per-row fan-out, binary frame payloads, batch streaming — is identical
+    on both paths.
     """
+
+    def _stub_rows(r) -> list[dict]:
+        dur = int(r["duration_ms"]) if not pd.isna(r["duration_ms"]) else 0
+        payload = r["payload"]
+        rows = []
+        for k, ms in enumerate(range(0, dur, frame_stride_ms)):
+            lo = (k * 16) % max(len(payload), 1)
+            rows.append(
+                {
+                    "media_id": r["media_id"],
+                    "frame_idx": k,
+                    "frame_ms": ms,
+                    "frame_payload": payload[lo : lo + 16],
+                }
+            )
+        return rows
+
+    def _real_rows(r) -> list[dict] | None:
+        frames = decode_video_frames(r["payload"], frame_stride_ms)
+        if frames is None:
+            return None
+        # 32×-subsampled raw RGB bytes: bounded (~few KB/frame), decoder-free
+        # to reread, deterministic — the production encode step swaps in here
+        return [
+            {
+                "media_id": r["media_id"],
+                "frame_idx": k,
+                "frame_ms": ms,
+                "frame_payload": arr[::32, ::32].tobytes(),
+            }
+            for k, (ms, arr) in enumerate(frames)
+        ]
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             vids = pdf[pdf["kind"] == "video"]
             for _, r in vids.iterrows():
-                dur = int(r["duration_ms"]) if not pd.isna(r["duration_ms"]) else 0
-                payload = r["payload"]
-                for k, ms in enumerate(range(0, dur, frame_stride_ms)):
-                    lo = (k * 16) % max(len(payload), 1)
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": k,
-                            "frame_ms": ms,
-                            "frame_payload": payload[lo : lo + 16],
-                        }
-                    )
+                rows.extend(_real_rows(r) or _stub_rows(r))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_ms", "frame_payload"])
 
     return media.mapInPandas(process, schema=FRAME_SCHEMA)
