@@ -88,9 +88,9 @@ def load_lexicons(spark: SparkSession, lexicon_dir: str) -> Lexicons:
 
         path = f"{lexicon_dir.rstrip('/')}/{name}.parquet"
         try:
-            df = spark.read.parquet(path)
-            df.schema  # force resolution so missing paths surface here
-            return df
+            # .parquet() resolves the path eagerly (schema inference), so a
+            # missing table raises right here, not at first downstream use
+            return spark.read.parquet(path)
         except AnalysisException as e:
             if required:
                 raise FileNotFoundError(f"required lexicon table missing: {path}") from e
@@ -219,13 +219,24 @@ def build_nodes_for_edges(edges: DataFrame, lex: Lexicons) -> DataFrame:
     )
 
 
-def _ambiguous_norm_targets(edges: DataFrame, predicate_map: DataFrame | None) -> list[str]:
-    """Post-normalization predicate values with ≥ 2 pre-images over the
-    OBSERVED predicate universe (an unmapped predicate is its own
-    pre-image) — the only predicates along which normalization can create
-    duplicate triples. The predicate column is dictionary-cardinality, so
-    the distinct is a map-side-collapsed aggregate over the (persisted)
-    edge table; the rest is driver arithmetic on two tiny sets."""
+def _predicate_census(
+    edges: DataFrame, predicate_map: DataFrame | None
+) -> tuple[list[str], set[str]]:
+    """(ambiguous normalization targets, raw predicate-map keys).
+
+    Ambiguous targets = post-normalization predicate values with ≥ 2
+    pre-images over the OBSERVED predicate universe (an unmapped predicate
+    is its own pre-image) — the only predicates along which normalization
+    can create duplicate triples. The predicate column is
+    dictionary-cardinality, so the distinct is a map-side-collapsed
+    aggregate over the (persisted) edge table; the rest is driver
+    arithmetic on two tiny sets. Returns the map's raw key set too so
+    ``_finalize_graph`` doesn't re-collect it.
+
+    Thread-safe (read-only jobs, no session-conf flips, nothing pinned) —
+    the pipelines run it on a background thread overlapped with the node
+    build + canonicalization jobs, closing one of the measured driver-only
+    timeline gaps (BENCH.md §1e)."""
     from collections import Counter
 
     observed = [r[0] for r in edges.select("predicate").distinct().collect()]
@@ -236,7 +247,12 @@ def _ambiguous_norm_targets(edges: DataFrame, predicate_map: DataFrame | None) -
             for r in predicate_map.collect()
         }
     counts = Counter(pm.get(p, p) for p in observed)
-    return [t for t, c in counts.items() if c >= 2]
+    return [t for t, c in counts.items() if c >= 2], set(pm)
+
+
+def _ambiguous_norm_targets(edges: DataFrame, predicate_map: DataFrame | None) -> list[str]:
+    """Back-compat wrapper: just the ambiguous-target list."""
+    return _predicate_census(edges, predicate_map)[0]
 
 
 def canonicalize_graph(
@@ -259,6 +275,10 @@ def canonicalize_graph(
     # observed entity universe, which is NOT bounded at 100 TB.
     norm_map = norm_map.localCheckpoint(eager=True)
     n_norm = norm_map.count()
+    # stash the measured count on the returned DataFrame so _finalize_graph
+    # (and any other consumer) can reuse it instead of re-running the job —
+    # one fewer driver-only gap in the 46-job timeline (BENCH.md §1e)
+    norm_map.kg_count = n_norm
     if remap_edges:
         edges = remap_edge_endpoints(edges, norm_map, norm_map_rows=n_norm)
         if lex.predicate_map is not None:
@@ -300,6 +320,8 @@ def _finalize_graph(
     predicate_map: DataFrame | None,
     ambiguous_targets: list[str],
     max_inset_ids: int = 1_000,
+    norm_map_rows: int | None = None,
+    pred_keys: set[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Stage 5 over pre-remap edges: endpoint remap + predicate rewrite +
     dedup, splitting the triple stream ONCE with a pure-expression membership
@@ -346,7 +368,9 @@ def _finalize_graph(
     split replaces ``merge_nodes_targeted``'s semi/anti joins.
     """
     canon_ids_df = norm_map.select(F.col("canonical_id").alias("id"))
-    n_norm = norm_map.count()
+    # reuse the caller-measured count (stashed by canonicalize_graph) —
+    # the fallback count only runs for direct/test callers
+    n_norm = norm_map.count() if norm_map_rows is None else norm_map_rows
     if n_norm > max_inset_ids:
         edges = remap_edge_endpoints(edges, norm_map, norm_map_rows=n_norm)
         if predicate_map is not None:
@@ -362,11 +386,12 @@ def _finalize_graph(
     rows = norm_map.select("id", "canonical_id").collect()
     nm_ids = [r["id"] for r in rows]
     canon_ids = sorted({r["canonical_id"] for r in rows})
-    pred_keys: set[str] = set()
-    if predicate_map is not None:
-        pred_keys = {
-            r[0] for r in predicate_map.select("raw_predicate").distinct().collect()
-        }
+    if pred_keys is None:
+        pred_keys = set()
+        if predicate_map is not None:
+            pred_keys = {
+                r[0] for r in predicate_map.select("raw_predicate").distinct().collect()
+            }
     pred_touch = sorted(pred_keys | set(ambiguous_targets))
 
     touch = F.lit(False)
@@ -409,11 +434,24 @@ def _write_graph_tables(nodes: DataFrame, edges: DataFrame, output_dir: str,
     so file:/hdfs:/s3a: output roots behave identically. Readers prune by
     bucket (icetable.read_table(buckets=[...])) — the Iceberg
     bucket-transform contract the north rule asks the materialized graph to
-    carry."""
+    carry.
+
+    The two writes run CONCURRENTLY (separate directories, shared read-only
+    persisted upstreams): the node table is small next to the edge table,
+    so serial writes left cores idle through the node write and through the
+    edge stages' tails — concurrent jobs fill both (BENCH.md §1e
+    utilization)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..icetable import write_table
 
-    write_table(nodes, output_dir, "kg_nodes", bucket_col="id", n_buckets=n_buckets)
-    write_table(edges, output_dir, "kg_edges", bucket_col="subject", n_buckets=n_buckets)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fn = pool.submit(write_table, nodes, output_dir, "kg_nodes",
+                         bucket_col="id", n_buckets=n_buckets)
+        fe = pool.submit(write_table, edges, output_dir, "kg_edges",
+                         bucket_col="subject", n_buckets=n_buckets)
+        fn.result()
+        fe.result()
 
 
 def write_graph_artifacts(out: dict, lex: Lexicons, output_dir: str,
@@ -485,16 +523,31 @@ def run_pipeline(
     linked.count()
     edges = emit_triples(linked, lex).persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()  # same reasoning: node-build + canonicalize + export fan out
-    # Pre-canonicalize nodes have two full executions otherwise: once pulled
-    # through normalization_map's CC materialization, once again when the
-    # final nodes plan is forced. Narrow (id, name, category) rows → persist
-    # is bounded and spills, never recomputes.
-    nodes = build_nodes_for_edges(edges, lex).persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count()
-    edges_pre = edges  # pre-normalization view for the predicate census
-    nodes, edges, norm_map, failures = canonicalize_graph(
-        nodes, edges, lex, remap_edges=False
-    )
+    # Predicate census on a BACKGROUND thread, overlapped with the node
+    # build + canonicalization jobs below: it is one read-only pass over the
+    # just-materialized edge cache plus a tiny predicate-map collect, and
+    # running it serially was a measured driver-only gap in the 46-job
+    # timeline (BENCH.md §1e/§1f — ~3% of wall at 32M turns). Safe to
+    # overlap: no session-conf flips, nothing pinned/unpinned on either
+    # side while it runs (see session.unpersist_new_rdds's warning — the
+    # canonicalize path only checkpoints, never diff-releases).
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        census = pool.submit(_predicate_census, edges, lex.predicate_map)
+        # Pre-canonicalize nodes have two full executions otherwise: once
+        # pulled through normalization_map's CC materialization, once again
+        # when the final nodes plan is forced. Narrow (id, name, category)
+        # rows → persist is bounded and spills, never recomputes.
+        nodes = build_nodes_for_edges(edges, lex).persist(StorageLevel.MEMORY_AND_DISK)
+        nodes.count()
+        nodes, edges, norm_map, failures = canonicalize_graph(
+            nodes, edges, lex, remap_edges=False
+        )
+        ambiguous, pred_keys = census.result()
+    finally:
+        pool.shutdown(wait=False)
     # Endpoint ids are distinct by construction (build_nodes_for_edges), so
     # only canonicalization targets can collide — merge just those and
     # bypass the two-shuffle aggregate for the per-turn node bulk. Same
@@ -504,8 +557,9 @@ def run_pipeline(
     # performs remap + rewrite + dedup in one expression-split pass.
     if norm_map is not None:
         nodes, edges = _finalize_graph(
-            nodes, edges, norm_map, lex.predicate_map,
-            _ambiguous_norm_targets(edges_pre, lex.predicate_map),
+            nodes, edges, norm_map, lex.predicate_map, ambiguous,
+            norm_map_rows=getattr(norm_map, "kg_count", None),
+            pred_keys=pred_keys,
         )
     else:
         # No remap and no predicate rewrite happened: the emit-stage dedup
@@ -629,17 +683,27 @@ def run_pipeline_checkpointed(
     raw = spark.read.parquet(f"{output_dir.rstrip(chr(47))}/triples")
     edges = combine_bucket_triples(raw)
     nodes = build_nodes_for_edges(edges, lex)
-    edges_pre = edges
-    nodes, edges, norm_map, failures = canonicalize_graph(
-        nodes, edges, lex, remap_edges=False
-    )
+    # background census overlapped with canonicalization (same reasoning and
+    # safety argument as run_pipeline)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        census = pool.submit(_predicate_census, edges, lex.predicate_map)
+        nodes, edges, norm_map, failures = canonicalize_graph(
+            nodes, edges, lex, remap_edges=False
+        )
+        ambiguous, pred_keys = census.result()
+    finally:
+        pool.shutdown(wait=False)
     if norm_map is not None:
         # Post-remap collisions (two clique members mentioned in one turn
         # collapsing onto one canonical object) were previously left in the
         # checkpointed output — run_pipeline deduped them, this path did not.
         nodes, edges = _finalize_graph(
-            nodes, edges, norm_map, lex.predicate_map,
-            _ambiguous_norm_targets(edges_pre, lex.predicate_map),
+            nodes, edges, norm_map, lex.predicate_map, ambiguous,
+            norm_map_rows=getattr(norm_map, "kg_count", None),
+            pred_keys=pred_keys,
         )
     else:
         nodes = merge_nodes(nodes)

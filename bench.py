@@ -137,6 +137,8 @@ def main() -> None:
     # e2e sample measured 12.4s / 13.0s / 21.5s across three same-code
     # bench invocations. Two reps bound the noise without re-timing all 50
     # per-operator queries.
+    from concurrent.futures import ThreadPoolExecutor
+
     e2e_walls = []
     for rep in range(2):
         if rep:  # re-pin between reps only: _release dropped the input cache
@@ -144,8 +146,12 @@ def main() -> None:
             transcripts.count()
         t0 = time.time()
         out = run_pipeline(transcripts, lex, compute_metadata=False)
-        _force(out["edges"])
-        _force(out["nodes"])
+        # concurrent forcing, matching bench_scaling.py / _write_graph_tables:
+        # the small node job fills the edge stages' scheduler tails
+        with ThreadPoolExecutor(max_workers=2) as p:
+            futs = [p.submit(_force, d) for d in (out["edges"], out["nodes"])]
+            for f in futs:
+                f.result()
         e2e_walls.append(round(time.time() - t0, 3))
         _release(spark)
     pipeline_sec = min(e2e_walls)

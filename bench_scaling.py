@@ -117,13 +117,26 @@ def run_child(cpus: int, n_turns: int) -> None:
         return ticks / os.sysconf("SC_CLK_TCK")
 
     def one_run(n: int) -> tuple[float, int, float]:
+        from concurrent.futures import ThreadPoolExecutor
+
         actual = (n // 20) * 20  # generator emits whole conversations
         transcripts = generate_transcripts_distributed(spark, n // 20, 20)
         c0 = cpu_task_seconds()
         t0 = time.time()
         out = run_pipeline(transcripts, lex, compute_metadata=False)
-        out["edges"].write.format("noop").mode("overwrite").save()
-        out["nodes"].write.format("noop").mode("overwrite").save()
+        # force edge + node outputs CONCURRENTLY: both read the same
+        # already-materialized persisted upstreams, and the small node job
+        # fills the edge stages' scheduler tails instead of running on an
+        # otherwise-idle box afterwards (same as _write_graph_tables)
+        with ThreadPoolExecutor(max_workers=2) as p:
+            futs = [
+                p.submit(
+                    lambda df: df.write.format("noop").mode("overwrite").save(), d
+                )
+                for d in (out["edges"], out["nodes"])
+            ]
+            for f in futs:
+                f.result()
         wall = time.time() - t0
         cpu = cpu_task_seconds() - c0
         spark.catalog.clearCache()
