@@ -907,6 +907,148 @@ def q_etl_civic_bigfile(spark, sf_dir):
     return extract_civic_bigfile(clinical, mps, variants, features)
 
 
+# DuckDB replica of combo_tokens/canonical_set_key (functions/text.py:27-66,
+# sources/civic_etl.py:148) — kept adjacent to the Spark path it mirrors so
+# the two canonicalizations can't drift.
+_SQL_CANON = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "lower({x}), '\\([^)]*\\)', '', 'g'), "
+    "'\\b(regimen|combination|combo|therapy|therapies)\\b', ' ', 'g'), "
+    "'[^a-z0-9+\\s-]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+_SQL_COMBO_SEP = r"(?i)\s*(?:/|,|;|\+|&|\band\b|\bwith\b)\s*"
+
+
+def _sql_combo_toks(col: str) -> str:
+    canon = _SQL_CANON.format(x="x")
+    split = (
+        "list_filter(list_transform(regexp_split_to_array("
+        f"regexp_replace({col}, '\\([^)]*\\)', '', 'g'), '{{sep}}'), "
+        f"x -> {canon}), x -> x <> '')"
+    )
+    prim = split.format(sep=_SQL_COMBO_SEP)
+    hyph = split.format(sep=r"\s*[-–—]\s*")
+    return (
+        f"CASE WHEN len({prim}) >= 2 THEN {prim} "
+        f"WHEN len({hyph}) >= 2 THEN {hyph} ELSE {prim} END"
+    )
+
+
+_SQL_COMBO_KEY = "array_to_string(list_sort(list_distinct({toks})), '|')"
+
+
+@query(
+    "etl_therapy_enrich",
+    f"""
+    WITH p AS (
+      SELECT p_partkey AS pk,
+             regexp_split_to_array(p_name, ' ')[1] AS w1,
+             regexp_split_to_array(p_name, ' ')[2] AS w2
+      FROM part
+    ),
+    big AS (
+      SELECT pk AS row_id,
+             CASE pk % 6
+               WHEN 0 THEN w1 || ' / ' || w2
+               WHEN 1 THEN w1 || ', ' || w2 || ' and zzx' || CAST(pk % 3 AS VARCHAR)
+               WHEN 2 THEN w1 || ' (' || w2 || ') + ' || w2
+               WHEN 3 THEN w1 || ' therapy'
+               WHEN 4 THEN w1 || '-' || w2
+               ELSE 'qqnope' || CAST(pk % 5 AS VARCHAR)
+             END AS therapy
+      FROM p
+    ),
+    tmap AS (
+      SELECT w2 || ' + ' || w1 AS therapy,
+             'NCIT:C' || substr(md5(w1 || '|' || w2), 1, 6) AS ncit_id
+      FROM p WHERE pk % 4 = 0
+      UNION ALL
+      SELECT w2, 'NCIT:T' || substr(md5(w2), 1, 6) FROM p
+      UNION ALL
+      SELECT w1, 'NCIT:T' || substr(md5(w1), 1, 6) FROM p WHERE pk % 3 = 0
+    ),
+    mt AS (
+      SELECT ncit_id, {_sql_combo_toks('therapy')} AS toks FROM tmap
+    ),
+    keyed_map AS (
+      SELECT {_SQL_COMBO_KEY.format(toks='toks')} AS combo_key,
+             min(ncit_id) AS exact_ncit
+      FROM mt WHERE len(toks) >= 2 GROUP BY 1
+    ),
+    token_map AS (
+      SELECT toks[1] AS tok, min(ncit_id) AS ncit_id
+      FROM mt WHERE len(toks) = 1 GROUP BY 1
+    ),
+    bk AS (
+      SELECT row_id, therapy,
+             {_SQL_COMBO_KEY.format(toks=_sql_combo_toks('therapy'))} AS combo_key
+      FROM big
+    ),
+    miss_toks AS (
+      SELECT combo_key, unnest(string_split(combo_key, '|')) AS tok
+      FROM (SELECT DISTINCT bk.combo_key FROM bk
+            LEFT JOIN keyed_map k USING (combo_key) WHERE k.combo_key IS NULL)
+    ),
+    fb AS (
+      SELECT m.combo_key,
+             string_agg(DISTINCT t.ncit_id, ',' ORDER BY t.ncit_id) AS tok_ncit
+      FROM miss_toks m JOIN token_map t ON m.tok = t.tok
+      GROUP BY m.combo_key
+    )
+    SELECT bk.row_id, bk.therapy,
+           coalesce(k.exact_ncit, fb.tok_ncit) AS ncit_ids
+    FROM bk
+    LEFT JOIN keyed_map k USING (combo_key)
+    LEFT JOIN fb USING (combo_key)
+    """,
+)
+def q_etl_therapy_enrich(spark, sf_dir):
+    """§3.3's other half, driver-checked end-to-end: the therapy→NCIT
+    enrichment (sources/civic_etl.py:169 enrich_therapy_ids — reference
+    map_therapy_id_revised.py:51-121) over therapy-combo strings derived
+    deterministically from part.p_name. Exercises every resolution branch:
+    exact canonical-combo-key equi-join (order-reversed map entries prove
+    order-insensitivity), parenthetical strip, therapy-stopword strip,
+    hyphen-fallback combo split, per-token explode→lookup→sorted-re-agg
+    fallback (full, partial, and zero token matches → NULL). The oracle
+    reproduces combo_tokens/canonical_set_key in DuckDB from the shared
+    fragments above."""
+    from ..sources.civic_etl import enrich_therapy_ids
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    w = F.split(F.col("p_name"), " ")
+    w1, w2 = F.element_at(w, 1), F.element_at(w, 2)
+    therapy = (
+        F.when(pk % 6 == 0, F.concat(w1, F.lit(" / "), w2))
+        .when(
+            pk % 6 == 1,
+            F.concat(w1, F.lit(", "), w2, F.lit(" and zzx"), (pk % 3).cast("string")),
+        )
+        .when(pk % 6 == 2, F.concat(w1, F.lit(" ("), w2, F.lit(") + "), w2))
+        .when(pk % 6 == 3, F.concat(w1, F.lit(" therapy")))
+        .when(pk % 6 == 4, F.concat(w1, F.lit("-"), w2))
+        .otherwise(F.concat(F.lit("qqnope"), (pk % 5).cast("string")))
+    )
+    bigfile = p.select(pk.alias("row_id"), therapy.alias("therapy"))
+    combos = p.filter(pk % 4 == 0).select(
+        F.concat(w2, F.lit(" + "), w1).alias("therapy"),
+        F.concat(
+            F.lit("NCIT:C"), F.substring(F.md5(F.concat(w1, F.lit("|"), w2)), 1, 6)
+        ).alias("ncit_id"),
+    )
+    singles = p.select(
+        w2.alias("therapy"),
+        F.concat(F.lit("NCIT:T"), F.substring(F.md5(w2), 1, 6)).alias("ncit_id"),
+    ).unionByName(
+        p.filter(pk % 3 == 0).select(
+            w1.alias("therapy"),
+            F.concat(F.lit("NCIT:T"), F.substring(F.md5(w1), 1, 6)).alias("ncit_id"),
+        )
+    )
+    return enrich_therapy_ids(bigfile, combos.unionByName(singles))
+
+
 # ---------------------------------------------------------------------------
 # §2.11 Graph operators over testdata-derived graphs
 # ---------------------------------------------------------------------------
@@ -1480,7 +1622,8 @@ _SQL_STOP = "('" + "','".join(EN_STOPWORDS) + "')"
       SELECT doc_id, text,
              length(text) AS n,
              length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
-             {_sql_toks('lower(text)')} AS toks
+             {_sql_toks('lower(text)')} AS toks,
+             {_sql_toks('text')} AS raw_toks
       FROM documents
     )
     SELECT doc_id,
@@ -1490,46 +1633,34 @@ _SQL_STOP = "('" + "','".join(EN_STOPWORDS) + "')"
              (CASE WHEN len(toks) > 0
                    THEN len(list_filter(toks, x -> x IN {_SQL_STOP})) / len(toks)
                    ELSE 0.0 END)
-           ) / 3.0, 4) AS quality
+           ) / 3.0, 4) AS quality,
+           CAST(len(raw_toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(raw_toks)) AS INTEGER) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           ROUND(list_sum(list_transform(raw_toks, x -> length(x)))::DOUBLE / len(raw_toks), 4) AS avg_tok_len
     FROM t
     """,
 )
 def q_text_quality(spark, sf_dir):
-    """Quality score: alpha ratio + length score + stopword ratio."""
+    """Quality scoring + token counting, folded into one entry (round 4 —
+    the driver caps checked entries, and both families are per-doc scalar
+    stats over the same table): composite quality score (alpha ratio +
+    length score + stopword ratio) plus token count / distinct count /
+    char length / mean token length. Both column families stay
+    value-hash-checked."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score("text").alias("quality"))
-
-
-@query(
-    "text_token_stats",
-    r"""
-    WITH t AS (
-      SELECT doc_id, text,
-             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(toks) AS INTEGER) AS n_tokens,
-           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
-           CAST(length(text) AS BIGINT) AS n_chars_actual,
-           ROUND(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS avg_tok_len
-    FROM t
-    """,
-)
-def q_text_token_stats(spark, sf_dir):
-    """Token counting: counts, distincts, char length, mean token length."""
-    d = _t(spark, sf_dir, "documents")
-    t = d.select("doc_id", "text", tokens("text").alias("toks"))
+    t = d.select("doc_id", "text", tokens("text").alias("raw_toks"))
     return t.select(
         "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        quality_score("text").alias("quality"),
+        F.size("raw_toks").alias("n_tokens"),
+        F.size(F.array_distinct("raw_toks")).alias("n_distinct"),
         F.length("text").cast("bigint").alias("n_chars_actual"),
         F.round(
             F.aggregate(
-                F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
+                F.transform("raw_toks", F.length), F.lit(0), lambda a, x: a + x
             ).cast("double")
-            / F.size("toks"),
+            / F.size("raw_toks"),
             4,
         ).alias("avg_tok_len"),
     )
