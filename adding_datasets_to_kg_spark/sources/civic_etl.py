@@ -218,9 +218,16 @@ def enrich_therapy_ids(
         .groupBy("_combo_key")
         .agg(F.array_join(F.array_sort(F.collect_set("ncit_id")), ",").alias("_tok_ncit"))
     )
+    # keyed_map/token_map above are dictionary-scale by contract (the
+    # reference's therapy-name→NCIT CSV) so their hints stay; fallback_by_key
+    # is CORPUS-influenced — its size is the number of distinct unmatched
+    # combo keys observed in the data — so no forced hint: AQE broadcasts it
+    # from runtime stats when it actually fits (same reasoning as the
+    # hot-shingle set in operators/dedup.py and the measured crossover in
+    # jobs/bench_broadcast_crossover.py / hints.py).
     return (
         with_key.join(exact_map, "_combo_key", "left")
-        .join(F.broadcast(fallback_by_key), "_combo_key", "left")
+        .join(fallback_by_key, "_combo_key", "left")
         .withColumn("ncit_ids", F.coalesce("_exact_ncit", "_tok_ncit"))
         .drop("_combo_key", "_exact_ncit", "_tok_ncit")
     )
