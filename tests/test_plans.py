@@ -136,3 +136,25 @@ def test_emit_mention_family_bypasses_dedup_shuffle(spark):
         .unionByName(emit_variant_gene_triples(linked, lex.variant), allowMissingColumns=True)
     ).dropDuplicates(["subject", "predicate", "object"])
     assert n_exchanges(emit_triples(linked, lex)) == n_exchanges(dedupable)
+
+
+def test_therapy_enrich_plan_no_cross_join(spark):
+    """enrich_therapy_ids (the corpus ⟕ exact-map ⟕ fallback chain): the
+    canonical-key equi-join formulation must never degrade to a cartesian/
+    BNLJ, and the corpus-influenced fallback map carries NO forced broadcast
+    hint — the optimized logical plan may only hint the dictionary-contract
+    keyed/token maps (2 hints); AQE picks the fallback strategy from runtime
+    stats."""
+    df = entry_mod.queries()["etl_therapy_enrich"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    joins = [l for l in logical.splitlines() if "Join " in l]
+    hinted = [l for l in joins if "strategy=broadcast" in l]
+    # 4 joins: exact-map ⟕ (hinted), token-map ⋈ (hinted), anti vs exact-map
+    # (hinted) — all dictionary-contract — and the fallback ⟕, which must
+    # stay UNhinted so AQE sizes it from runtime stats.
+    assert len(joins) == 4 and len(hinted) == 3, f"join hints drifted:\n{joins}"
+    unhinted = [l for l in joins if "strategy=broadcast" not in l]
+    assert len(unhinted) == 1 and "LeftOuter" in unhinted[0], unhinted
