@@ -934,7 +934,11 @@ def _sql_combo_toks(col: str) -> str:
     )
 
 
-_SQL_COMBO_KEY = "array_to_string(list_sort(list_distinct({toks})), '|')"
+# coalesce: DuckDB's array_to_string([]) is NULL where Spark's array_join([])
+# is '' — found by the fuzz-parity test on all-empty token sets
+# (tests/test_dual_engine_fragments.py); without it an empty-key row would
+# also join differently ('' = '' matches, NULL never does).
+_SQL_COMBO_KEY = "coalesce(array_to_string(list_sort(list_distinct({toks})), '|'), '')"
 
 
 @query(
