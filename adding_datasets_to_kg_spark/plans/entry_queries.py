@@ -1293,7 +1293,8 @@ def q_dedup_exact(spark, sf_dir):
 def _sql_shingles(text_col: str, n: int = 3) -> str:
     toks = _sql_toks(text_col)
     return (
-        f"CASE WHEN len({toks}) < {n} THEN [array_to_string({toks}, ' ')] "
+        # coalesce: array_to_string([]) is NULL in DuckDB, '' in Spark
+        f"CASE WHEN len({toks}) < {n} THEN [coalesce(array_to_string({toks}, ' '), '')] "
         f"ELSE list_transform(range(0, len({toks}) - {n} + 1), "
         f"i -> array_to_string(({toks})[i + 1 : i + {n}], ' ')) END"
     )
@@ -1808,9 +1809,9 @@ def q_text_bpe_tokens(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(
+           md5(coalesce(array_to_string(list_sort(list_distinct(
              list_filter(regexp_split_to_array(trim(ct), '\s+'), t -> t <> '')
-           )), '|')) AS fp,
+           )), '|'), '')) AS fp,
            ROUND(CASE WHEN len(toks) > 0
                  THEN len(list_filter(toks, x -> x IN {_SQL_STOP}))::DOUBLE / len(toks)
                  ELSE 0.0 END, 4) AS stop_ratio
