@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-ANSI equivalents; keys without an entry (sim_topk_ivf,
-    mm_media_features) are non-SQL-expressible → rows-only check."""
+    """DuckDB-ANSI equivalents — every ``queries()`` key has one (all 50
+    registry entries are rows+schema+hash-checked; the formerly rows-only
+    ``sim_topk_ivf`` / ``mm_media_features`` gained full oracles in r2)."""
     return dict(ORACLES)

@@ -64,10 +64,20 @@ def read_text(spark: SparkSession, path_str: str) -> str:
 
 def write_text_atomic(spark: SparkSession, path_str: str, content: str) -> None:
     """Write-then-rename commit: the file never exists half-written under its
-    final name (the checkpoint protocol's atomicity requirement). Hadoop
-    rename does not overwrite, so a stale destination is deleted first —
-    safe here because each checkpoint file is only ever rewritten with the
-    same completed-bucket content."""
+    final name (the checkpoint protocol's atomicity requirement).
+
+    Rename-over-existing uses ``FileContext.rename(…, Rename.OVERWRITE)``,
+    which is a single atomic overwrite on HDFS and local file: — a concurrent
+    reader of manifest.json / a checkpoint row during a rewrite sees either
+    the old or the new complete file, never a missing one. Schemes with no
+    ``AbstractFileSystem`` binding (e.g. s3a without ``fs.AbstractFileSystem.
+    s3a.impl``) fall back to delete-then-rename; there, and on object stores
+    where rename is copy+delete anyway, a reader can observe a brief
+    missing-file window during a REWRITE (first writes are unaffected) and
+    must retry — content atomicity (no half-written bytes) still holds on
+    every scheme."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
     fs, final_path = _fs_path(spark, path_str)
     tmp_str = f"{path_str}.tmp"
     _, tmp_path = _fs_path(spark, tmp_str)
@@ -76,7 +86,17 @@ def write_text_atomic(spark: SparkSession, path_str: str, content: str) -> None:
         out.write(bytearray(content, "utf-8"))
     finally:
         out.close()
-    if fs.exists(final_path):
-        fs.delete(final_path, False)
-    if not fs.rename(tmp_path, final_path):
-        raise IOError(f"rename {tmp_str} -> {path_str} failed")
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            final_path.toUri(), conf
+        )
+        opts = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp_path, final_path, opts)  # throws on failure
+    except Exception:  # noqa: BLE001 — scheme without an AbstractFileSystem
+        if fs.exists(final_path):
+            fs.delete(final_path, False)
+        if not fs.rename(tmp_path, final_path):
+            raise IOError(f"rename {tmp_str} -> {path_str} failed") from None

@@ -50,6 +50,15 @@ def write_table(
     n_buckets: int = 16,
     mode: str = "overwrite",
 ) -> str:
+    # The manifest protocol is snapshot-replacing: write_table always
+    # rewrites manifest.json with a fresh snapshot_ts + schema, so an
+    # append would silently REPLACE snapshot metadata while extending data —
+    # reject it rather than invite that mismatch.
+    if mode != "overwrite":
+        raise ValueError(
+            f"icetable.write_table supports only mode='overwrite' (got {mode!r}): "
+            "the single-snapshot manifest cannot represent appends"
+        )
     path = _table_path(root, name)
     (
         df.withColumn("bucket", bucket_expr(bucket_col, n_buckets))

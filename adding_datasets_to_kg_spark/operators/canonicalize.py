@@ -27,6 +27,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# MEASURED bound (jobs/bench_cc_crossover.py, BENCH.md §5a; local[32],
+# CURIE-string clique edges): the WALL crossover is beyond 2M edges — driver
+# union-find beats star contraction 0.8s-vs-7.2s at 10k, 13.9s-vs-41.9s at
+# 1M, 24.4s-vs-65.8s at 2M — so the threshold is set by the driver-side
+# costs that grow linearly and have NO distributed escape: ~64 MB driver RSS
+# and a ~14 s single-threaded driver stall per 1M collected pairs. 1M keeps
+# both inside what a busy production driver tolerates (≲100 MB, ≲15 s);
+# past it the distributed path's rounds also parallelize across real
+# executors, eroding the local wall advantage the bench overstates.
 DRIVER_CC_MAX_EDGES = 1_000_000
 
 

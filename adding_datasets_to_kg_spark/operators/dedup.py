@@ -370,18 +370,47 @@ def simhash64_band_sql(toks_expr: str, band: int) -> str:
 
 # Manku/Jain/Das Sarma-style (WWW'07, "Detecting Near-Duplicates for Web
 # Crawling" — public) block-combination candidate tables: split the 64-bit
-# fingerprint into 6 blocks; a pair at Hamming ≤ 3 differs in ≤ 3 blocks, so
-# it AGREES on at least one 3-of-6 combination → probe C(6,3)=20 tables
-# keyed by ~32 concatenated bits. Key space 2^32 (vs 2^16 for naive 4×16
-# banding, whose buckets saturate at ~10^8 docs: corpus/2^16 docs per bucket
-# → quadratic pair blowup; measured at sf0.1 the naive scheme produced 188k
-# candidates for 4.5k true pairs — 40× false-candidate overhead from random
-# 16-bit collisions alone).
-SIMHASH_BLOCK_BOUNDS = [(0, 11), (11, 22), (22, 33), (33, 44), (44, 54), (54, 64)]
-SIMHASH_BLOCK_COMBOS = [
-    (i, j, k)
-    for i in range(6) for j in range(i + 1, 6) for k in range(j + 1, 6)
-]  # 20 combos, deterministic order
+# fingerprint into b blocks; a pair at Hamming ≤ k differs in ≤ k blocks, so
+# it AGREES exactly on at least one (b−k)-subset of blocks (pigeonhole) →
+# probe C(b, b−k) tables keyed by the concatenated (b−k)-block bits.
+
+
+def simhash_block_scheme(
+    n_blocks: int = 6, complete_hamming: int = 3
+) -> tuple[list[tuple[int, int]], list[tuple[int, ...]]]:
+    """(block bounds, block-combination tables) complete for Hamming ≤ k.
+
+    The default (b=6, k=3) is Manku's 3-of-6 scheme: C(6,3)=20 tables keyed
+    by ~32 concatenated bits — key space 2^32, vs 2^16 for naive 4×16
+    banding, whose buckets saturate at ~10^8 docs (corpus/2^16 docs per
+    bucket → quadratic pair blowup; measured at sf0.1 the naive scheme
+    produced 188k candidates for 4.5k true pairs — 40× false-candidate
+    overhead from random 16-bit collisions alone). Exact recall at a wider
+    bound trades table count for key width: b=8/k=4 gives C(8,4)=70 tables
+    on 32-bit keys (gated recall=1.0 at Hamming ≤ 4 in tests/test_dedup.py).
+    The per-table key keeps 64·(b−k)/b bits — pick b, k so that stays large
+    enough that buckets don't saturate at the target corpus size.
+    """
+    from itertools import combinations
+
+    if not 0 < complete_hamming < n_blocks <= 64:
+        raise ValueError(
+            f"need 0 < complete_hamming < n_blocks <= 64, got "
+            f"k={complete_hamming}, b={n_blocks}"
+        )
+    base, rem = divmod(64, n_blocks)
+    bounds, lo = [], 0
+    for i in range(n_blocks):
+        hi = lo + base + (1 if i < rem else 0)
+        bounds.append((lo, hi))
+        lo = hi
+    combos = list(combinations(range(n_blocks), n_blocks - complete_hamming))
+    return bounds, combos
+
+
+# default scheme as module constants — the registry's dual-engine SQL
+# (entry_queries) textually mirrors exactly this scheme
+SIMHASH_BLOCK_BOUNDS, SIMHASH_BLOCK_COMBOS = simhash_block_scheme(6, 3)
 
 
 def _simhash_block(band_vals, lo: int, hi: int):
@@ -421,32 +450,40 @@ def simhash64_block_sql(lo: int, hi: int, col_prefix: str = "b") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def dedup_simhash64(docs: DataFrame, max_hamming: int = 3,
-                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def dedup_simhash64(docs: DataFrame, max_hamming: int | None = None,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_blocks: int = 6, complete_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by 64-bit simhash block-combination Hamming join.
 
-    Candidates agree on all 3 blocks of ≥1 of the 20 3-of-6 block
-    combinations (guaranteed complete for Hamming ≤ 3 by pigeonhole),
+    Candidates agree on all blocks of ≥1 of the C(b, b−k) (b−k)-of-b block
+    combinations from ``simhash_block_scheme(n_blocks, complete_hamming)``
+    (guaranteed complete for Hamming ≤ complete_hamming by pigeonhole),
     then an exact Hamming recheck over the full fingerprint keeps pairs
     with distance ≤ max_hamming. Output: (id_a, id_b, hamming).
 
-    RECALL CONTRACT: the default ``max_hamming=3`` matches the candidate
-    scheme's completeness bound — every true pair at distance ≤ 3 is
-    returned (gated by tests/test_dedup.py against brute force). Callers
-    MAY pass ``max_hamming`` up to 6; distances 4-6 are then best-effort
-    (no false pairs, exact hamming values, but partial recall — measured
-    0.44 at Hamming 4-6 on the sf0.01 documents table). Completeness for
-    ≤ k generally needs C(b, b-k) block tables of b blocks; for exact ≤ 6
-    recall use the LSH/ngram strategies or grow the block scheme.
+    RECALL CONTRACT: ``max_hamming`` defaults to ``complete_hamming`` — the
+    candidate scheme's completeness bound, so by default every true pair at
+    distance ≤ complete_hamming is returned (gated by tests/test_dedup.py
+    against brute force, for both the 3-of-6 default and b=8/k=4). Callers
+    MAY pass a larger ``max_hamming``; distances past the bound are then
+    best-effort (no false pairs, exact hamming values, but partial recall —
+    measured 0.44 at Hamming 4-6 on the sf0.01 documents table with the
+    default scheme). For EXACT recall at a wider bound, widen the scheme
+    instead: ``n_blocks=8, complete_hamming=4`` probes 70 tables for
+    guaranteed Hamming ≤ 4.
 
     Scale shape: fingerprint table materialized once (localCheckpoint),
-    candidate equi-join on (table_idx, 3-block key) — ~32-bit key space
-    puts corpus_size / 2^32 docs per bucket (the naive 16-bit banding this
+    candidate equi-join on (table_idx, block-combo key) — the key keeps
+    64·(b−k)/b bits (~2^32 for both shipped schemes), putting
+    corpus_size / 2^32 docs per bucket (the naive 16-bit banding this
     replaces saturates its 2^16 buckets around 10^8 docs); near-dup clusters
     are small; no cross join anywhere.
     """
     from ..session import persistent_rdd_ids, unpersist_new_rdds
 
+    bounds, combos = simhash_block_scheme(n_blocks, complete_hamming)
+    if max_hamming is None:
+        max_hamming = complete_hamming
     spark = docs.sparkSession
     before = persistent_rdd_ids(spark)
     # localCheckpoint (not persist): truncates the fingerprint plan so the
@@ -455,7 +492,7 @@ def dedup_simhash64(docs: DataFrame, max_hamming: int = 3,
     # small pair result is pinned.
     fp = simhash64_fingerprints(docs, text_col, id_col).localCheckpoint(eager=True)
     band_vals = [F.col(f"b{i}") for i in range(SIMHASH_BANDS)]
-    blocks = [_simhash_block(band_vals, lo, hi) for lo, hi in SIMHASH_BLOCK_BOUNDS]
+    blocks = [_simhash_block(band_vals, lo, hi) for lo, hi in bounds]
     exploded = fp.select(
         id_col,
         F.explode(
@@ -466,7 +503,7 @@ def dedup_simhash64(docs: DataFrame, max_hamming: int = 3,
                         "|", *[blocks[b].cast("string") for b in combo]
                     ).alias("key"),
                 )
-                for t, combo in enumerate(SIMHASH_BLOCK_COMBOS)
+                for t, combo in enumerate(combos)
             ])
         ).alias("c"),
     ).select(id_col, "c.tbl", "c.key")

@@ -103,9 +103,18 @@ def decode_video_frames(payload: bytes, frame_stride_ms: int = 1000):
         frames = []
         with _av.open(io.BytesIO(bytes(payload))) as container:
             stream = container.streams.video[0]
+            tb = stream.time_base
+            # Containers without per-frame pts (or without a time_base) would
+            # all map to ms=0 and silently degrade stride sampling to a single
+            # frame — derive ms from the decode index × average frame duration
+            # instead (30 fps as the last-resort guess).
+            rate = stream.average_rate or stream.guessed_rate or 30
             next_ms = 0
-            for frame in container.decode(stream):
-                ms = int((frame.pts or 0) * float(stream.time_base) * 1000)
+            for idx, frame in enumerate(container.decode(stream)):
+                if frame.pts is not None and tb is not None:
+                    ms = int(frame.pts * float(tb) * 1000)
+                else:
+                    ms = int(idx * 1000 / float(rate))
                 if ms >= next_ms:
                     frames.append((ms, frame.to_ndarray(format="rgb24")))
                     next_ms += frame_stride_ms

@@ -123,16 +123,35 @@ def refine_centroids(c: DataFrame, centroids: DataFrame, n_iters: int = 1,
     return centroids
 
 
-def build_ivf_cells(corpus: DataFrame, n_cells: int = 16,
+def auto_n_cells(corpus_rows: int) -> int:
+    """IVF sizing guidance: ~√n cells — the standard IVF heuristic balancing
+    centroid-scoring work (∝ n_cells per vector) against per-probe candidate
+    size (∝ n/n_cells). At 10^12 vectors that is ~10^6 cells, keeping both
+    sides ~10^6 — neither a broadcast problem (centroid table stays executor-
+    memory-sized at ~0.5 GB for dim=64 doubles) nor a quadratic one."""
+    import math
+
+    return max(1, int(round(math.sqrt(max(corpus_rows, 1)))))
+
+
+def build_ivf_cells(corpus: DataFrame, n_cells: int | None = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    refine_iters: int = 1, dim: int = 64) -> tuple[DataFrame, DataFrame]:
+                    refine_iters: int = 1, dim: int = 64,
+                    corpus_rows: int | None = None) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF index: seed centroids = the n_cells corpus vectors
     with the lowest ids, then ``refine_iters`` Lloyd iterations
     (:func:`refine_centroids`) — deterministic k-means, no RNG, so the index
     is reproducible run-to-run.
 
+    ``n_cells=None`` auto-sizes to :func:`auto_n_cells` (~√n); pass
+    ``corpus_rows`` if already known to skip the sizing count job.
+
     Returns (assignments(id, cell_id), centroids(cell_id, centroid)).
     """
+    if n_cells is None:
+        n_cells = auto_n_cells(
+            corpus.count() if corpus_rows is None else corpus_rows
+        )
     centroids = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_cells)
@@ -148,18 +167,31 @@ def build_ivf_cells(corpus: DataFrame, n_cells: int = 16,
     return assignments, centroids
 
 
-def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
-             n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int | None = 16,
+             n_probe: int | None = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding",
              query_id_col: str = "query_id", refine_iters: int = 1,
-             dim: int = 64) -> DataFrame:
+             dim: int = 64, corpus_rows: int | None = None) -> DataFrame:
     """IVF-bucketed approximate top-k: probe the n_probe nearest cells only.
+
+    ``n_cells=None`` auto-sizes the index to ~√n cells
+    (:func:`auto_n_cells`; pass ``corpus_rows`` to skip the sizing count);
+    ``n_probe=None`` then probes max(4, n_cells/4) — the probe fraction of
+    the gated (64, 16) configuration. The recall@5 ≥ 0.9 gate runs at BOTH
+    the pinned (16, 8) and the auto-sized point in tests/test_similarity.py.
 
     Scale shape: corpus scored once against n_cells broadcast centroids
     (narrow), then the query↔corpus join is an equi-join on cell_id touching
     ~n_probe/n_cells of the corpus per query. Centroids are k-means-refined
-    (``refine_iters`` Lloyd steps) — the recall@k ≥ 0.9 gate lives in
-    tests/test_similarity.py.
+    (``refine_iters`` Lloyd steps).
     """
+    if n_cells is None:
+        n_cells = auto_n_cells(
+            corpus.count() if corpus_rows is None else corpus_rows
+        )
+    if n_probe is None:
+        n_probe = max(4, -(-n_cells // 4))
     assignments, centroids = build_ivf_cells(corpus, n_cells, id_col, vec_col, refine_iters, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")

@@ -257,8 +257,14 @@ def _ambiguous_norm_targets(edges: DataFrame, predicate_map: DataFrame | None) -
 
 def canonicalize_graph(
     nodes: DataFrame, edges: DataFrame, lex: Lexicons, remap_edges: bool = True
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """Stage 4: returns (nodes, edges, norm_map, failures).
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, int | None]:
+    """Stage 4: returns (nodes, edges, norm_map, failures, n_norm).
+
+    ``n_norm`` is the measured norm-map row count — returned explicitly so
+    callers (``_finalize_graph``) reuse it instead of re-running the count
+    job; one fewer driver-only gap in the 46-job timeline (BENCH.md §1e).
+    (Previously stashed as a dynamic ``norm_map.kg_count`` attribute, which
+    any select/filter on norm_map would have silently dropped.)
 
     ``remap_edges=False`` skips the edge-side remap/predicate rewrite and
     returns ``edges`` untouched — the pipelines use it so they can fold
@@ -266,7 +272,7 @@ def canonicalize_graph(
     of layering the dedup's branches on top of an already-joined edge plan.
     """
     if lex.id_equivalences is None:
-        return nodes, edges, None, None
+        return nodes, edges, None, None, None
     norm_map, failures = normalization_map(nodes, lex.id_equivalences)
     # Materialize once: three consumers below (subject remap, object remap,
     # node join) would each re-run the CC-derived plan otherwise. The count
@@ -275,10 +281,6 @@ def canonicalize_graph(
     # observed entity universe, which is NOT bounded at 100 TB.
     norm_map = norm_map.localCheckpoint(eager=True)
     n_norm = norm_map.count()
-    # stash the measured count on the returned DataFrame so _finalize_graph
-    # (and any other consumer) can reuse it instead of re-running the job —
-    # one fewer driver-only gap in the 46-job timeline (BENCH.md §1e)
-    norm_map.kg_count = n_norm
     if remap_edges:
         edges = remap_edge_endpoints(edges, norm_map, norm_map_rows=n_norm)
         if lex.predicate_map is not None:
@@ -310,7 +312,7 @@ def canonicalize_graph(
             ).otherwise(F.col("properties")).alias("properties"),
         )
     )
-    return nodes, edges, norm_map, failures
+    return nodes, edges, norm_map, failures, n_norm
 
 
 def _finalize_graph(
@@ -368,7 +370,7 @@ def _finalize_graph(
     split replaces ``merge_nodes_targeted``'s semi/anti joins.
     """
     canon_ids_df = norm_map.select(F.col("canonical_id").alias("id"))
-    # reuse the caller-measured count (stashed by canonicalize_graph) —
+    # reuse the caller-measured count (returned by canonicalize_graph) —
     # the fallback count only runs for direct/test callers
     n_norm = norm_map.count() if norm_map_rows is None else norm_map_rows
     if n_norm > max_inset_ids:
@@ -542,12 +544,16 @@ def run_pipeline(
         # rows → persist is bounded and spills, never recomputes.
         nodes = build_nodes_for_edges(edges, lex).persist(StorageLevel.MEMORY_AND_DISK)
         nodes.count()
-        nodes, edges, norm_map, failures = canonicalize_graph(
+        nodes, edges, norm_map, failures, n_norm = canonicalize_graph(
             nodes, edges, lex, remap_edges=False
         )
         ambiguous, pred_keys = census.result()
     finally:
-        pool.shutdown(wait=False)
+        # cancel_futures: if canonicalize_graph raised before the census
+        # started, don't let it begin Spark jobs while the caller unwinds
+        # (a census already running cannot be stopped — it is read-only and
+        # harmless, but a queued one need not start)
+        pool.shutdown(wait=False, cancel_futures=True)
     # Endpoint ids are distinct by construction (build_nodes_for_edges), so
     # only canonicalization targets can collide — merge just those and
     # bypass the two-shuffle aggregate for the per-turn node bulk. Same
@@ -558,7 +564,7 @@ def run_pipeline(
     if norm_map is not None:
         nodes, edges = _finalize_graph(
             nodes, edges, norm_map, lex.predicate_map, ambiguous,
-            norm_map_rows=getattr(norm_map, "kg_count", None),
+            norm_map_rows=n_norm,
             pred_keys=pred_keys,
         )
     else:
@@ -690,19 +696,21 @@ def run_pipeline_checkpointed(
     pool = ThreadPoolExecutor(max_workers=1)
     try:
         census = pool.submit(_predicate_census, edges, lex.predicate_map)
-        nodes, edges, norm_map, failures = canonicalize_graph(
+        nodes, edges, norm_map, failures, n_norm = canonicalize_graph(
             nodes, edges, lex, remap_edges=False
         )
         ambiguous, pred_keys = census.result()
     finally:
-        pool.shutdown(wait=False)
+        # same reasoning as run_pipeline: don't start a queued census while
+        # unwinding from a canonicalize failure
+        pool.shutdown(wait=False, cancel_futures=True)
     if norm_map is not None:
         # Post-remap collisions (two clique members mentioned in one turn
         # collapsing onto one canonical object) were previously left in the
         # checkpointed output — run_pipeline deduped them, this path did not.
         nodes, edges = _finalize_graph(
             nodes, edges, norm_map, lex.predicate_map, ambiguous,
-            norm_map_rows=getattr(norm_map, "kg_count", None),
+            norm_map_rows=n_norm,
             pred_keys=pred_keys,
         )
     else:

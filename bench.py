@@ -37,6 +37,37 @@ def _force(df) -> int:
     return 0
 
 
+def _host_calibration(cpus: int) -> dict:
+    """Per-sitting host-speed index, recorded INSIDE the official JSON line
+    so any single sitting is interpretable on its own (BENCH.md §1b: this
+    sandbox shows ±50% wall variance between identical runs; r4's driver
+    record regressed 31% on code the builder's own sittings measured faster).
+
+    Runs the two Spark-free calibration kernels from bench_scaling.py — an
+    L1-resident sha256 chain (alu) and a DRAM-streaming checksum (mem) — one
+    process per core, min-of-2 waves each. The numbers are *this sitting's*
+    all-core ceiling: compare two sittings' kernel walls to separate host
+    drift from code drift before reading anything into a query-time delta.
+    """
+    from multiprocessing import Pool
+
+    from bench_scaling import _calibration_work, _calibration_work_mem
+
+    with Pool(min(cpus, 4)) as p:  # warm-up: page in the interpreter pool
+        p.map(_calibration_work, range(4))
+    out = {}
+    for name, fn in (("alu", _calibration_work), ("mem", _calibration_work_mem)):
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            with Pool(cpus) as p:  # one task per core = one wave
+                p.map(fn, range(cpus))
+            walls.append(time.time() - t0)
+        out[f"{name}_wave_sec"] = round(min(walls), 2)
+    out["cpus"] = cpus
+    return out
+
+
 def _release(spark) -> None:
     """Drop every persistent RDD + SQL cache left behind by a query.
 
@@ -68,6 +99,9 @@ def main() -> None:
     )
     from adding_datasets_to_kg_spark.plans.pipeline import Lexicons, run_pipeline
     from __spark_entry__ import queries
+
+    # calibrate BEFORE Spark exists: the kernels need the cores to themselves
+    calibration = _host_calibration(CPUS)
 
     spark = get_spark("kg-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -132,15 +166,17 @@ def main() -> None:
     # discards — the timed run would silently regenerate)
     transcripts = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
     transcripts.count()
-    # min-of-2 on the NORTH-RULE metric only: this sandbox documents ±50%
+    # min-of-3 on the NORTH-RULE metric only: this sandbox documents ±50%
     # host CPU noise between identical runs (BENCH.md §1b), and a single
     # e2e sample measured 12.4s / 13.0s / 21.5s across three same-code
-    # bench invocations. Two reps bound the noise without re-timing all 50
-    # per-operator queries.
+    # bench invocations; the r4 driver sitting published a 31% e2e
+    # regression that two same-code builder sittings contradicted. Three
+    # reps bound the noise without re-timing all 50 per-operator queries;
+    # all walls are recorded so the spread is visible in the official line.
     from concurrent.futures import ThreadPoolExecutor
 
     e2e_walls = []
-    for rep in range(2):
+    for rep in range(3):
         if rep:  # re-pin between reps only: _release dropped the input cache
             transcripts = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
             transcripts.count()
@@ -169,6 +205,8 @@ def main() -> None:
                 "sf": sf,
                 "pipeline_turns": actual_turns,
                 "pipeline_turns_per_sec": turns_per_sec,
+                "pipeline_e2e_walls": e2e_walls,
+                "host_calibration": calibration,
                 "cpus": CPUS,
             }
         )

@@ -216,3 +216,56 @@ def test_simhash64_default_matches_completeness_bound(spark):
         (r.id_a, r.id_b) for r in dedup_simhash64(docs, max_hamming=3).collect()
     }
     assert {(r.id_a, r.id_b) for r in out.collect()} == explicit
+
+
+def test_simhash_block_scheme_default_matches_published_constants():
+    """The generalized scheme generator must reproduce the exact 3-of-6
+    layout the registry's DuckDB SQL textually mirrors — any drift here
+    silently breaks the dedup_simhash64 dual-engine hash check."""
+    from adding_datasets_to_kg_spark.operators.dedup import (
+        SIMHASH_BLOCK_BOUNDS,
+        SIMHASH_BLOCK_COMBOS,
+        simhash_block_scheme,
+    )
+
+    bounds, combos = simhash_block_scheme(6, 3)
+    assert bounds == SIMHASH_BLOCK_BOUNDS == [
+        (0, 11), (11, 22), (22, 33), (33, 44), (44, 54), (54, 64)
+    ]
+    assert combos == SIMHASH_BLOCK_COMBOS
+    assert len(combos) == 20
+    # invalid shapes rejected loudly
+    with pytest.raises(ValueError):
+        simhash_block_scheme(6, 6)
+    with pytest.raises(ValueError):
+        simhash_block_scheme(6, 0)
+
+
+def test_simhash64_wider_scheme_exact_recall_at_hamming4(spark):
+    """b=8/k=4 (C(8,4)=70 tables, 32-bit keys) must be COMPLETE at
+    Hamming <= 4 — recall 1.0 vs brute force on the full sf0.01 documents
+    table, where the default 3-of-6 scheme measures only ~0.44 in 4-6.
+    Soundness holds too: every returned pair carries its exact distance."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fp = simhash64_fingerprints(docs).localCheckpoint(eager=True)
+    fa = fp.select(F.col("doc_id").alias("id_a"),
+                   *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)])
+    fb = fp.select(F.col("doc_id").alias("id_b"),
+                   *[F.col(f"b{i}").alias(f"c{i}") for i in range(4)])
+    ham = sum(F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(4))
+    brute = {
+        (r.id_a, r.id_b): r.hamming
+        for r in fa.join(fb, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 4)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup_simhash64(
+            docs, max_hamming=4, n_blocks=8, complete_hamming=4
+        ).collect()
+    }
+    assert brute, "fixture regression: no <=4 pairs to measure"
+    # exact completeness AND soundness: the two maps are identical
+    assert got == brute

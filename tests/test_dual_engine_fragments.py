@@ -95,3 +95,50 @@ def test_whitespace_tokens_fragment_parity(spark, fuzz_rows):
     want = dict(_duck(fuzz_rows).execute(sql).fetchall())
     bad = [(i, s, got[i], want[i]) for i, s in fuzz_rows if got[i] != want[i]]
     assert not bad, bad[:5]
+
+
+def test_langid_trigram_rounding_boundary_fixture(spark, tmp_path):
+    """Pin the documented text_langid boundary semantics (entry docstring):
+    lang_ngram thresholds the 4-dp ROUNDED tri_ratio, so a doc with raw
+    ratio in [0.03995, 0.04) rounds to 0.0400 and labels 'en' where an
+    exact comparison would say 'unknown' — and BOTH engines agree on it.
+
+    Fixture docs are 'the'+filler constructions where the hit count and
+    slot count are exact by arithmetic (no profile trigram other than
+    'the' can occur in a {t,h,e,q}-alphabet, whitespace-free string):
+      doc 0: 399 hits / 9980 slots = 0.0399799  -> rounds 0.0400 -> 'en'
+      doc 1: 399 hits / 10000 slots = 0.0399    -> 'unknown'
+      doc 2: 4 hits / 100 slots = 0.04 exactly  -> 'en'
+    """
+    from adding_datasets_to_kg_spark.plans.entry_queries import ORACLES, QUERIES
+
+    unit = "the" + "q" * 22  # 25 chars, exactly one profile-trigram hit
+    docs = [
+        (0, unit * 399 + "q" * 7),   # len 9982 -> 9980 slots, 399 hits
+        (1, unit * 399 + "q" * 27),  # len 10002 -> 10000 slots, 399 hits
+        (2, unit * 4 + "qq"),        # len 102 -> 100 slots, 4 hits
+    ]
+    # the documented flip regime really is exercised by doc 0
+    assert 0.03995 <= 399 / 9980 < 0.04
+
+    pq = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(pq)
+
+    got = {
+        r["doc_id"]: (f"{r['tri_ratio']:.4f}", r["lang_ngram"], r["lang_stopword"])
+        for r in QUERIES["text_langid"](spark, str(tmp_path)).collect()
+    }
+    assert got[0] == ("0.0400", "en", "unknown")       # rounded-up boundary doc
+    assert got[1] == ("0.0399", "unknown", "unknown")
+    assert got[2] == ("0.0400", "en", "unknown")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    want = {
+        row[0]: (f"{row[2]:.4f}", row[3], row[1])
+        for row in con.execute(
+            "SELECT doc_id, lang_stopword, tri_ratio, lang_ngram FROM ("
+            + ORACLES["text_langid"] + ")"
+        ).fetchall()
+    }
+    assert got == want

@@ -110,7 +110,7 @@ def test_targeted_merge_equals_full_merge(corpus, lex):
     )
     edges_pre = emit_triples(linked, lex)
     nodes = build_nodes_for_edges(edges_pre, lex)
-    nodes, edges, norm_map, _ = canonicalize_graph(nodes, edges_pre, lex)
+    nodes, edges, norm_map, _, _ = canonicalize_graph(nodes, edges_pre, lex)
     canon_ids = norm_map.select(F.col("canonical_id").alias("id"))
     full = merge_nodes(nodes)
     targeted = merge_nodes_targeted(nodes, canon_ids)
@@ -169,7 +169,7 @@ def test_finalize_graph_expr_split_equals_join_fallback(corpus, lex):
     )
     edges_pre = emit_triples(linked, lex)
     nodes_pre = build_nodes_for_edges(edges_pre, lex)
-    nodes, edges, norm_map, _ = canonicalize_graph(
+    nodes, edges, norm_map, _, _ = canonicalize_graph(
         nodes_pre, edges_pre, lex, remap_edges=False
     )
     assert norm_map.count() > 0  # the split must actually be exercised

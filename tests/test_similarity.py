@@ -130,3 +130,26 @@ def test_ivf_recall_holds_as_cells_grow(spark, n_cells, n_probe):
                                 n_probe=n_probe, refine_iters=2).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"recall@5 {recall:.3f} at n_cells={n_cells}"
+
+
+def test_ivf_auto_sized_recall_gate_sf01(spark):
+    """n_cells=None auto-sizes to ~sqrt(n) (2000 vectors -> 45 cells,
+    n_probe -> 12): recall@5 >= 0.9 must hold at the auto-sized point, and
+    the sizing helper itself must follow the sqrt rule."""
+    from adding_datasets_to_kg_spark.operators.similarity import auto_n_cells
+
+    assert auto_n_cells(2000) == 45
+    assert auto_n_cells(1) == 1
+    assert auto_n_cells(10**12) == 10**6
+
+    embs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    queries = embs.filter("vec_id < 20").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    exact = {(r.query_id, r.neighbor_id)
+             for r in topk_bruteforce(embs, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in topk_ivf(embs, queries, k=5, n_cells=None, n_probe=None,
+                                refine_iters=2, corpus_rows=2000).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@5 {recall:.3f} at auto-sized n_cells"
